@@ -1,0 +1,152 @@
+"""Single dataclass config tree + the reference's per-scene hyperparameter matrix.
+
+The reference spreads hyperparameters over four bash scripts
+(``scripts/train_{bunny_real,bunny_blender,mirror,block_data}.sh``); here they
+are named presets (SURVEY.md §2.1):
+
+scene         depth-loss-mult  loss-type  uncertainty-weight  train-split  percent-take
+bunny_real    0.005            UNCERT     0.01                0.08         100
+bunny_blender 0.5              SIMPLE     —                   0.13         100
+mirror        0.2              UNCERT     1.0                 0.8          5
+block         0.2              UNCERT     1.0                 0.8          10
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class DepthLossType(enum.Enum):
+    """Loss-type names are the fork's CLI contract
+    (``scripts/train_bunny_real.sh:52``)."""
+
+    SIMPLE_LOSS = "SIMPLE_LOSS"
+    DEPTH_UNCERTAINTY_WEIGHTED_LOSS = "DEPTH_UNCERTAINTY_WEIGHTED_LOSS"
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    tile_h: int = 8            # pixel-tile height  (VPU sublane-aligned)
+    tile_w: int = 128          # pixel-tile width   (VPU lane-aligned)
+    gaussian_chunk: int = 256  # gaussians composited per scan step (oracle path)
+    alpha_clip: float = 0.999  # max per-gaussian alpha (gsplat convention)
+    alpha_threshold: float = 1.0 / 255.0  # skip contributions below this
+    sigma_cutoff: float = 3.0  # radius cutoff in standard deviations
+    eps2d: float = 0.3         # 2D covariance dilation (antialiasing floor)
+    near: float = 0.01         # near-plane cull
+    max_tiles_per_gaussian: int = 64   # cap for intersection binning
+    max_intersections: int = 2 ** 21   # global (gaussian, tile) pair budget
+    use_pallas: bool = False   # Pallas tile kernel vs. jnp scan oracle
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    max_gaussians: int = 2 ** 17       # fixed capacity (jit-stable densify)
+    sh_degree: int = 3
+    init_opacity: float = 0.1
+    init_scale_knn: int = 3            # mean distance to k nearest seeds
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rasterize: RasterizeConfig = dataclasses.field(default_factory=RasterizeConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthLossConfig:
+    depth_loss_mult: float = 0.2
+    depth_loss_type: DepthLossType = DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS
+    uncertainty_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    """splatfacto-style adaptive density control (SURVEY.md §2.9)."""
+
+    warmup_steps: int = 500
+    refine_every: int = 100
+    stop_refine_at: int = 15_000
+    grad_threshold: float = 0.0002       # positional-gradient densify threshold
+    densify_size_threshold: float = 0.01 # split if scale above, clone if below
+    prune_opacity_threshold: float = 0.005
+    prune_scale_threshold: float = 0.5   # world-size prune (scene units)
+    reset_opacity_every: int = 3000
+    reset_opacity_value: float = 0.01
+    split_samples: int = 2
+    split_scale_shrink: float = 1.6
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Per-group Adam LRs (splatfacto convention)."""
+
+    means_lr_init: float = 1.6e-4
+    means_lr_final: float = 1.6e-6
+    means_lr_max_steps: int = 30_000
+    features_dc_lr: float = 2.5e-3
+    features_rest_lr: float = 2.5e-3 / 20.0
+    opacities_lr: float = 5e-2
+    scales_lr: float = 5e-3
+    quats_lr: float = 1e-3
+    eps: float = 1e-15
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_steps: int = 30_000
+    ssim_lambda: float = 0.2            # loss = (1-λ)L1 + λ(1-SSIM)
+    sh_degree_interval: int = 1000      # grow active SH degree every N steps
+    seed: int = 0
+    checkpoint_every: int = 2000        # steps_per_save (legacy/config_tactile.py:27)
+    log_every: int = 100
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    depth: DepthLossConfig = dataclasses.field(default_factory=DepthLossConfig)
+    densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenePreset:
+    name: str
+    train_split_fraction: float
+    depth: DepthLossConfig
+    percent_take: float = 100.0          # % of touch seed points kept
+    is_real_world: bool = True
+
+
+SCENE_PRESETS: dict[str, ScenePreset] = {
+    # scripts/train_bunny_real.sh:52-55
+    "bunny_real": ScenePreset(
+        name="bunny_real",
+        train_split_fraction=0.08,
+        depth=DepthLossConfig(0.005, DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS, 0.01),
+        percent_take=100.0,
+        is_real_world=True,
+    ),
+    # scripts/train_bunny_blender.sh:50-54
+    "bunny_blender": ScenePreset(
+        name="bunny_blender",
+        train_split_fraction=0.13,
+        depth=DepthLossConfig(0.5, DepthLossType.SIMPLE_LOSS, 0.0),
+        percent_take=100.0,
+        is_real_world=False,
+    ),
+    # scripts/train_mirror.sh:46-49
+    "mirror": ScenePreset(
+        name="mirror",
+        train_split_fraction=0.8,
+        depth=DepthLossConfig(0.2, DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS, 1.0),
+        percent_take=5.0,
+        is_real_world=True,
+    ),
+    # scripts/train_block_data.sh:46-50
+    "block": ScenePreset(
+        name="block",
+        train_split_fraction=0.8,
+        depth=DepthLossConfig(0.2, DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS, 1.0),
+        percent_take=10.0,
+        is_real_world=True,
+    ),
+}
+
+
+def train_config_for_preset(preset: ScenePreset, **overrides) -> TrainConfig:
+    return dataclasses.replace(TrainConfig(depth=preset.depth), **overrides)

@@ -1,0 +1,98 @@
+"""Tile×Gaussian intersection binning — jit-stable, no dynamic shapes.
+
+TPU-native replacement for gsplat's duplicate-keys + radix-sort CUDA stage
+(SURVEY.md §2.9 "project → tile-sort → per-tile compositing").  The CUDA code
+builds variable-length per-tile lists; XLA needs static shapes, so we:
+
+1. cap tiles-per-Gaussian at ``max_tiles_per_gaussian`` (enumerate a fixed k
+   range, map k → (tile_x, tile_y) inside each Gaussian's bbox, mask overflow);
+2. build integer sort keys ``tile_id * G + depth_rank`` so one global sort
+   yields tiles grouped together and depth-ascending within each tile;
+3. recover per-tile [start, count) extents with two searchsorteds.
+
+Truncation is front-biased: if a tile holds more than the consumer's cap, the
+kept entries are the nearest ones (depth rank ordering), which dominate the
+composite anyway.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from touchgs_tpu.config import RasterizeConfig
+from touchgs_tpu.ops.projection import ProjectedGaussians
+
+
+class TileBins(NamedTuple):
+    sorted_gauss: jnp.ndarray  # (M,) gaussian index per intersection, tile-major
+    tile_starts: jnp.ndarray   # (n_tiles,) offset of each tile's run in sorted_gauss
+    tile_counts: jnp.ndarray   # (n_tiles,) run length
+    n_tiles_x: int
+    n_tiles_y: int
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    cfg: RasterizeConfig = RasterizeConfig(),
+) -> TileBins:
+    n_tx = _cdiv(width, cfg.tile_w)
+    n_ty = _cdiv(height, cfg.tile_h)
+    n_tiles = n_tx * n_ty
+    G = proj.means2d.shape[0]
+    T_cap = cfg.max_tiles_per_gaussian
+
+    mx, my = proj.means2d[:, 0], proj.means2d[:, 1]
+    r = proj.radii
+    x0 = jnp.clip(jnp.floor((mx - r) / cfg.tile_w), 0, n_tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r) / cfg.tile_w), 0, n_tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / cfg.tile_h), 0, n_ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r) / cfg.tile_h), 0, n_ty - 1).astype(jnp.int32)
+    bw = x1 - x0 + 1
+    bh = y1 - y0 + 1
+    n_cover = bw * bh  # tiles covered by each gaussian (pre-cap)
+
+    # depth rank: position of each gaussian in the global front-to-back order
+    sort_depth = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(sort_depth)
+    rank = jnp.zeros((G,), jnp.int32).at[order].set(
+        jnp.arange(G, dtype=jnp.int32)
+    )
+
+    # (G, T_cap) enumeration of covered tiles
+    k = jnp.arange(T_cap, dtype=jnp.int32)[None, :]         # (1, T_cap)
+    tx = x0[:, None] + k % bw[:, None]
+    ty = y0[:, None] + k // bw[:, None]
+    tile_id = ty * n_tx + tx                                 # (G, T_cap)
+    pair_ok = (k < jnp.minimum(n_cover, T_cap)[:, None]) & proj.valid[:, None]
+
+    key_dtype = jnp.int32 if (n_tiles + 1) * G < 2**31 else jnp.int64
+    key = tile_id.astype(key_dtype) * G + rank[:, None].astype(key_dtype)
+    key = jnp.where(pair_ok, key, jnp.array(n_tiles, key_dtype) * G)  # sentinel
+
+    flat_key = key.reshape(-1)
+    gauss_of_pair = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[:, None], (G, T_cap)
+    ).reshape(-1)
+
+    perm = jnp.argsort(flat_key)
+    sorted_key = flat_key[perm]
+    sorted_gauss = gauss_of_pair[perm]
+    tile_of_pair = (sorted_key // G).astype(jnp.int32)
+
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_of_pair, tiles, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_of_pair, tiles, side="right").astype(jnp.int32)
+    return TileBins(
+        sorted_gauss=sorted_gauss,
+        tile_starts=starts,
+        tile_counts=ends - starts,
+        n_tiles_x=n_tx,
+        n_tiles_y=n_ty,
+    )
