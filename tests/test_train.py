@@ -1,0 +1,142 @@
+"""End-to-end training smoke: fit a tiny synthetic scene (SURVEY.md §4 item 3).
+
+Ground truth = an oracle render of random gaussians; the trainer starts from
+noisy-position init and must drive loss down / PSNR up within a few hundred
+steps on CPU.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchgs_tpu.config import (
+    DensifyConfig,
+    DepthLossConfig,
+    DepthLossType,
+    ModelConfig,
+    OptimConfig,
+    RasterizeConfig,
+    TrainConfig,
+)
+from touchgs_tpu.data.cameras import Cameras
+from touchgs_tpu.data.scene import Scene
+from touchgs_tpu.models.gaussians import init_from_points
+from touchgs_tpu.models.splatfacto import render
+from touchgs_tpu.train.trainer import Trainer
+
+from tests.synthetic import look_at_camera, random_gaussians
+
+
+def _make_synthetic_scene(n_views=6, width=96, height=72, n_gauss=300, seed=0):
+    """Render GT images of a known gaussian cloud from a ring of cameras."""
+    means, quats, scales, colors, opacities = random_gaussians(
+        n_gauss, seed=seed, spread=0.5
+    )
+    cams = []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        eye = (2.0 * np.cos(ang), 2.0 * np.sin(ang), 1.0)
+        cams.append(look_at_camera(eye=eye, width=width, height=height, focal=90.0))
+
+    # use our model's own render path with a GT parameter set
+    from touchgs_tpu.models.gaussians import GaussianParams
+    from touchgs_tpu.ops.sh import rgb_to_sh_dc
+
+    C = n_gauss
+    gt = GaussianParams(
+        means=means, quats=quats, log_scales=jnp.log(scales),
+        logit_opacities=jnp.log(opacities / (1 - opacities)),
+        sh_dc=rgb_to_sh_dc(colors),
+        sh_rest=jnp.zeros((C, 0, 3)),
+        alive=jnp.ones((C,), bool),
+    )
+    mcfg = ModelConfig(max_gaussians=C, sh_degree=0,
+                       rasterize=RasterizeConfig(gaussian_chunk=128))
+    images, depths = [], []
+    for cam in cams:
+        out, _ = render(gt, cam, mcfg, active_sh_degree=0)
+        images.append(np.asarray(out.rgb))
+        depths.append(np.asarray(out.depth))
+
+    cameras = Cameras(
+        fx=np.array([float(c.fx) for c in cams], np.float32),
+        fy=np.array([float(c.fy) for c in cams], np.float32),
+        cx=np.array([float(c.cx) for c in cams], np.float32),
+        cy=np.array([float(c.cy) for c in cams], np.float32),
+        c2w=np.stack([np.asarray(c.c2w) for c in cams]),
+        width=width, height=height,
+    )
+    scene = Scene(
+        cameras=cameras,
+        images=np.stack(images),
+        depths=np.stack(depths),
+        uncertainties=np.ones((n_views, height, width), np.float32),
+        i_train=np.arange(n_views),
+        i_eval=np.array([], int),
+        seed_points=np.asarray(means) + np.random.default_rng(1).normal(
+            0, 0.05, means.shape
+        ).astype(np.float32),
+        seed_colors=np.asarray(colors),
+        scale_factor=1.0,
+        transform=np.eye(4)[:3],
+        name="synthetic",
+    )
+    return scene
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    return _make_synthetic_scene()
+
+
+def _tiny_cfg(**depth_kwargs):
+    return TrainConfig(
+        max_steps=120,
+        model=ModelConfig(
+            max_gaussians=512, sh_degree=1,
+            rasterize=RasterizeConfig(gaussian_chunk=128),
+        ),
+        depth=DepthLossConfig(**depth_kwargs) if depth_kwargs else DepthLossConfig(),
+        densify=DensifyConfig(warmup_steps=40, refine_every=40, stop_refine_at=100,
+                              reset_opacity_every=10_000),
+        optim=OptimConfig(means_lr_max_steps=200),
+        sh_degree_interval=50,
+        log_every=20,
+        seed=0,
+    )
+
+
+def test_training_improves_psnr(tiny_scene):
+    trainer = Trainer(tiny_scene, _tiny_cfg())
+    first = None
+
+    def log(m):
+        nonlocal first
+        if first is None:
+            first = m
+
+    last = trainer.run(log_fn=log)
+    assert np.isfinite(last["loss"])
+    assert last["psnr"] > first["psnr"] + 2.0, (first, last)
+    assert last["num_alive"] > 0
+
+
+def test_training_with_uncertainty_depth_loss(tiny_scene):
+    cfg = _tiny_cfg(
+        depth_loss_mult=0.2,
+        depth_loss_type=DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS,
+        uncertainty_weight=1.0,
+    )
+    trainer = Trainer(tiny_scene, cfg)
+    last = trainer.run(max_steps=60)
+    assert np.isfinite(last["depth_loss"])
+    assert last["depth_loss"] > 0
+
+
+def test_render_after_training(tiny_scene):
+    trainer = Trainer(tiny_scene, _tiny_cfg())
+    trainer.run(max_steps=40)
+    out = trainer.render_view(0)
+    assert out.rgb.shape == (tiny_scene.images.shape[1], tiny_scene.images.shape[2], 3)
+    assert not np.any(np.isnan(np.asarray(out.rgb)))

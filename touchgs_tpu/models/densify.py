@@ -1,0 +1,165 @@
+"""Adaptive density control over fixed-capacity masked arrays (jit-stable).
+
+splatfacto/3DGS densification (SURVEY.md §2.9: "densify (clone/split by
+positional-gradient threshold), prune (opacity/size), periodic opacity
+reset"), redesigned for XLA: primitive counts never change — new Gaussians are
+written into dead slots located with a static-shape argsort, clones/splits are
+scatters, prunes flip the ``alive`` mask.  When free slots run out the refine
+saturates gracefully (highest-gradient candidates win).
+
+All functions are pure and jittable; the trainer calls `refine` every
+``refine_every`` steps outside the hot per-step jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from touchgs_tpu.config import DensifyConfig
+from touchgs_tpu.models.gaussians import GaussianParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DensifyState:
+    grad_accum: jax.Array   # (C,) accumulated screen-space positional grad norms
+    grad_count: jax.Array   # (C,) number of steps each gaussian was visible
+    max_radii: jax.Array    # (C,) max screen radius seen since last refine
+
+    @staticmethod
+    def zeros(capacity: int) -> "DensifyState":
+        return DensifyState(
+            grad_accum=jnp.zeros((capacity,), jnp.float32),
+            grad_count=jnp.zeros((capacity,), jnp.float32),
+            max_radii=jnp.zeros((capacity,), jnp.float32),
+        )
+
+
+def update_stats(
+    state: DensifyState,
+    means2d_grad: jnp.ndarray,  # (C, 2) grad of loss w.r.t. screen positions
+    radii: jnp.ndarray,         # (C,)
+    visible: jnp.ndarray,       # (C,) bool
+) -> DensifyState:
+    g = jnp.linalg.norm(means2d_grad, axis=-1)
+    vis = visible.astype(jnp.float32)
+    return DensifyState(
+        grad_accum=state.grad_accum + g * vis,
+        grad_count=state.grad_count + vis,
+        max_radii=jnp.maximum(state.max_radii, radii),
+    )
+
+
+def _scatter_children(
+    params: GaussianParams,
+    source_idx: jnp.ndarray,   # (C,) for each *child rank* r: source gaussian
+    child_slot: jnp.ndarray,   # (C,) destination slot for child rank r
+    child_ok: jnp.ndarray,     # (C,) bool: this child rank is real
+    new_means: jnp.ndarray,    # (C, 3) child means (indexed by child rank)
+    new_log_scales: jnp.ndarray,
+) -> GaussianParams:
+    """Scatter child gaussians (inheriting everything else) into dead slots."""
+    slot = jnp.where(child_ok, child_slot, params.capacity)  # OOB drops writes
+
+    def put(dst, src_vals):
+        return dst.at[slot].set(src_vals, mode="drop")
+
+    return GaussianParams(
+        means=put(params.means, new_means),
+        quats=put(params.quats, params.quats[source_idx]),
+        log_scales=put(params.log_scales, new_log_scales),
+        logit_opacities=put(params.logit_opacities,
+                            params.logit_opacities[source_idx]),
+        sh_dc=put(params.sh_dc, params.sh_dc[source_idx]),
+        sh_rest=put(params.sh_rest, params.sh_rest[source_idx]),
+        alive=put(params.alive, child_ok),
+    )
+
+
+def refine(
+    params: GaussianParams,
+    state: DensifyState,
+    key: jax.Array,
+    cfg: DensifyConfig,
+) -> tuple[GaussianParams, DensifyState, jax.Array]:
+    """One densify+prune pass.  Returns (params, reset stats, touched_mask).
+
+    ``touched_mask`` marks slots whose parameters were (re)written — the
+    trainer zeroes optimizer moments there (splatfacto resets Adam state for
+    new gaussians).
+    """
+    C = params.capacity
+    avg_grad = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
+    scale_max = jnp.max(params.scales(), axis=-1)
+
+    dense_candidate = (avg_grad > cfg.grad_threshold) & params.alive
+    do_split = dense_candidate & (scale_max > cfg.densify_size_threshold)
+    do_clone = dense_candidate & ~do_split
+
+    # children per source: clone→1 (copy at same spot), split→split_samples
+    n_children = (do_clone.astype(jnp.int32)
+                  + do_split.astype(jnp.int32) * cfg.split_samples)
+
+    # free slots, stable order (dead first)
+    dead_first = jnp.argsort(params.alive.astype(jnp.int32), stable=True)
+    n_free = C - jnp.sum(params.alive.astype(jnp.int32))
+
+    # priority: higher-gradient sources allocate first when slots are scarce
+    priority = jnp.argsort(-jnp.where(n_children > 0, avg_grad, -jnp.inf))
+    n_children_sorted = n_children[priority]
+    offsets_sorted = jnp.cumsum(n_children_sorted) - n_children_sorted
+    # map back: offset per source gaussian
+    offsets = jnp.zeros((C,), jnp.int32).at[priority].set(offsets_sorted)
+
+    touched = jnp.zeros((C,), bool)
+    new_params = params
+    max_k = max(1, cfg.split_samples)
+    for k in range(max_k):
+        want = n_children > k
+        slot_rank = offsets + k
+        ok = want & (slot_rank < n_free)
+        child_slot = dead_first[jnp.clip(slot_rank, 0, C - 1)]
+        # child position: clones stay at source; splits sample from the
+        # gaussian's own ellipsoid
+        key, sub = jax.random.split(key)
+        eps = jax.random.normal(sub, (C, 3))
+        from touchgs_tpu.ops.projection import quat_to_rotmat  # local: avoid cycle
+        R = quat_to_rotmat(params.quats)
+        offset_world = jnp.einsum("nij,nj->ni", R, eps * params.scales())
+        split_means = params.means + offset_world
+        child_means = jnp.where(do_split[:, None], split_means, params.means)
+        child_log_scales = jnp.where(
+            do_split[:, None],
+            params.log_scales - jnp.log(cfg.split_scale_shrink),
+            params.log_scales,
+        )
+        new_params = _scatter_children(
+            new_params, jnp.arange(C), child_slot, ok, child_means,
+            child_log_scales,
+        )
+        touched = touched.at[jnp.where(ok, child_slot, C)].set(True, mode="drop")
+
+    # split sources die (replaced by children); shrink their slot params too
+    died_split = do_split & (offsets + cfg.split_samples - 1 < n_free)
+    alive = new_params.alive & ~died_split
+    new_params = dataclasses.replace(new_params, alive=alive)
+
+    # prune: low opacity or oversized world scale
+    prune = (new_params.opacities() < cfg.prune_opacity_threshold) | (
+        scale_max > cfg.prune_scale_threshold
+    )
+    # note: scale_max is pre-refine but dead slots are masked anyway
+    alive = new_params.alive & ~prune
+    new_params = dataclasses.replace(new_params, alive=alive)
+
+    return new_params, DensifyState.zeros(C), touched
+
+
+def reset_opacities(params: GaussianParams, value: float) -> GaussianParams:
+    """Periodic opacity clamp-down (3DGS `reset_opacity`)."""
+    cap = jnp.log(value / (1.0 - value))
+    return dataclasses.replace(
+        params, logit_opacities=jnp.minimum(params.logit_opacities, cap)
+    )

@@ -1,0 +1,134 @@
+"""The depth-supervised Gaussian-splatting model (the fork's
+`depth-gaussian-splatting` method, SURVEY.md §2.9).
+
+`render` produces RGB + expected depth + accumulation for one camera;
+`compute_losses` adds the photometric loss (L1 + SSIM, splatfacto convention)
+and the depth supervision term in both reference modes:
+
+- ``SIMPLE_LOSS``: masked L1 between rendered and fused depth.
+- ``DEPTH_UNCERTAINTY_WEIGHTED_LOSS``: the residual down-weighted by the
+  per-pixel fused uncertainty sigma with strength ``uncertainty_weight``
+  (CLI contract at ``scripts/train_bunny_real.sh:52``).  The fork's exact
+  formula is not in the checkout (empty submodule); consistent with the
+  inverse-variance convention of the fusion stage
+  (``utils/fuse_touch_vision.py:124-148``) we use
+  ``w = 1 / (1 + uncertainty_weight * sigma^2)`` — reducing exactly to
+  SIMPLE_LOSS as uncertainty_weight → 0.
+
+The screen-space positional gradient needed by densification is exposed by
+rendering through an explicit zero `means2d_offset`: grad w.r.t. it is the
+per-Gaussian screen gradient (the stat gsplat accumulates in its backward
+kernel).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from touchgs_tpu.config import DepthLossConfig, DepthLossType, ModelConfig
+from touchgs_tpu.data.cameras import Camera
+from touchgs_tpu.models.gaussians import GaussianParams
+from touchgs_tpu.ops.projection import (
+    ProjectedGaussians,
+    project_gaussians,
+    view_directions,
+)
+from touchgs_tpu.ops.rasterize_ref import RenderOutput, rasterize_dense
+from touchgs_tpu.ops.rasterize_tiled import rasterize_tiled
+from touchgs_tpu.ops.sh import eval_sh
+from touchgs_tpu.ops.ssim import ssim
+
+
+def render(
+    params: GaussianParams,
+    camera: Camera,
+    cfg: ModelConfig,
+    active_sh_degree: jnp.ndarray | int | None = None,
+    background: jnp.ndarray | None = None,
+    means2d_offset: jnp.ndarray | None = None,
+    use_dense: bool = False,
+    k_tile: int = 1024,
+) -> tuple[RenderOutput, ProjectedGaussians]:
+    """Render one view. Returns (outputs, projected) — `projected` feeds the
+    densification statistics (radii, validity)."""
+    rcfg = cfg.rasterize
+    proj = project_gaussians(
+        params.means, params.quats, params.scales(),
+        camera.w2c, camera.fx, camera.fy, camera.cx, camera.cy,
+        camera.width, camera.height, rcfg,
+        extra_valid=params.alive,
+    )
+    if means2d_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
+
+    cam_origin = camera.c2w[:3, 3]
+    dirs = view_directions(params.means, cam_origin)
+    colors = jnp.clip(
+        eval_sh(params.sh_coeffs(), dirs, cfg.sh_degree, active_sh_degree) + 0.5,
+        0.0, None,
+    )
+    opacities = params.opacities()
+    bg = background if background is not None else jnp.asarray(cfg.background)
+    if use_dense:
+        out = rasterize_dense(
+            proj, colors, opacities, camera.width, camera.height, rcfg,
+            background=bg,
+        )
+    else:
+        out = rasterize_tiled(
+            proj, colors, opacities, camera.width, camera.height, rcfg,
+            background=bg, k_tile=k_tile,
+        )
+    return out, proj
+
+
+class LossOutput(NamedTuple):
+    total: jnp.ndarray
+    rgb_l1: jnp.ndarray
+    ssim_loss: jnp.ndarray
+    depth_loss: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def depth_supervision_loss(
+    rendered_depth: jnp.ndarray,   # (H, W)
+    target_depth: jnp.ndarray,     # (H, W), 0 = no supervision
+    uncertainty: Optional[jnp.ndarray],  # (H, W) sigma, or None
+    cfg: DepthLossConfig,
+) -> jnp.ndarray:
+    valid = target_depth > 0
+    residual = jnp.abs(rendered_depth - target_depth)
+    if (
+        cfg.depth_loss_type is DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS
+        and uncertainty is not None
+    ):
+        w = 1.0 / (1.0 + cfg.uncertainty_weight * uncertainty**2)
+        residual = residual * w
+    residual = jnp.where(valid, residual, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(residual) / denom
+
+
+def compute_losses(
+    out: RenderOutput,
+    image: jnp.ndarray,                  # (H, W, 3)
+    depth: Optional[jnp.ndarray],        # (H, W) or None
+    uncertainty: Optional[jnp.ndarray],  # (H, W) or None
+    depth_cfg: DepthLossConfig,
+    ssim_lambda: float = 0.2,
+) -> LossOutput:
+    l1 = jnp.mean(jnp.abs(out.rgb - image))
+    s = ssim(out.rgb, image)
+    ssim_loss = 1.0 - s
+    rgb_total = (1.0 - ssim_lambda) * l1 + ssim_lambda * ssim_loss
+    if depth is not None:
+        d_loss = depth_supervision_loss(out.depth, depth, uncertainty, depth_cfg)
+    else:
+        d_loss = jnp.float32(0.0)
+    total = rgb_total + depth_cfg.depth_loss_mult * d_loss
+    mse = jnp.mean((out.rgb - image) ** 2)
+    psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+    return LossOutput(total=total, rgb_l1=l1, ssim_loss=ssim_loss,
+                      depth_loss=d_loss, psnr=psnr)

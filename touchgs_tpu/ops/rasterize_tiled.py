@@ -44,6 +44,9 @@ def rasterize_tiled(
     th, tw = cfg.tile_h, cfg.tile_w
     P = th * tw
     M = bins.sorted_gauss.shape[0]
+    # don't scan more entries than gaussians exist, nor pad past the tile count
+    k_tile = min(k_tile, proj.means2d.shape[0])
+    tile_block = min(tile_block, n_tiles)
 
     # pad gaussian attribute arrays with one dead slot at index N (gathers of
     # masked entries hit it harmlessly)

@@ -1,0 +1,215 @@
+"""Training loop for depth-supervised Gaussian splatting.
+
+TPU-native rebuild of the fork's `ns-train depth-gaussian-splatting` trainer
+(SURVEY.md §3.2): per step — render one training view, photometric + depth
+loss, per-group Adam update, densify bookkeeping; periodic refine / opacity
+reset / checkpoint.  The hot step is one jitted function; densification runs
+as a second jitted function at refine boundaries (host-side schedule, fixed
+shapes throughout).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from touchgs_tpu.config import TrainConfig
+from touchgs_tpu.data.cameras import Camera
+from touchgs_tpu.data.scene import Scene
+from touchgs_tpu.models.densify import (
+    DensifyState,
+    refine,
+    reset_opacities,
+    update_stats,
+)
+from touchgs_tpu.models.gaussians import GaussianParams, init_from_points, init_random
+from touchgs_tpu.models.splatfacto import compute_losses, render
+from touchgs_tpu.train.optim import PARAM_GROUPS, make_optimizer, reset_opt_slots
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: GaussianParams
+    opt_state: object
+    densify: DensifyState
+    step: jax.Array
+
+
+def _diff_params(params: GaussianParams) -> dict:
+    return {g: getattr(params, g) for g in PARAM_GROUPS}
+
+
+def _merge_params(params: GaussianParams, diff: dict) -> GaussianParams:
+    return dataclasses.replace(params, **diff)
+
+
+def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
+    """Build the jitted train step: (state, camera, image, depth, unc) →
+    (state, metrics)."""
+
+    def step_fn(state: TrainState, camera: Camera, image, depth, unc,
+                active_sh_degree):
+        C = state.params.capacity
+
+        def loss_fn(diff, means2d_offset):
+            params = _merge_params(state.params, diff)
+            out, proj = render(
+                params, camera, cfg.model,
+                active_sh_degree=active_sh_degree,
+                means2d_offset=means2d_offset,
+            )
+            losses = compute_losses(
+                out, image, depth, unc, cfg.depth, cfg.ssim_lambda
+            )
+            return losses.total, (losses, proj)
+
+        diff = _diff_params(state.params)
+        offset0 = jnp.zeros((C, 2), jnp.float32)
+        (loss, (losses, proj)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(diff, offset0)
+        param_grads, screen_grads = grads
+
+        updates, opt_state = optimizer.update(param_grads, state.opt_state, diff)
+        diff = jax.tree.map(lambda p, u: p + u, diff, updates)
+        params = _merge_params(state.params, diff)
+
+        densify = update_stats(state.densify, screen_grads, proj.radii, proj.valid)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, densify=densify,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "rgb_l1": losses.rgb_l1,
+            "ssim_loss": losses.ssim_loss,
+            "depth_loss": losses.depth_loss,
+            "psnr": losses.psnr,
+            "num_alive": state.params.num_alive,
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_refine_step(cfg: TrainConfig):
+    def refine_fn(state: TrainState, key):
+        params, densify, touched = refine(
+            state.params, state.densify, key, cfg.densify
+        )
+        opt_state = reset_opt_slots(state.opt_state, touched, params.capacity)
+        return TrainState(
+            params=params, opt_state=opt_state, densify=densify, step=state.step
+        )
+
+    return jax.jit(refine_fn, donate_argnums=(0,))
+
+
+def make_reset_opacity_step(cfg: TrainConfig):
+    def reset_fn(state: TrainState):
+        params = reset_opacities(state.params, cfg.densify.reset_opacity_value)
+        return dataclasses.replace(state, params=params)
+
+    return jax.jit(reset_fn, donate_argnums=(0,))
+
+
+class Trainer:
+    """Host-side training driver for one scene."""
+
+    def __init__(self, scene: Scene, cfg: TrainConfig):
+        self.scene = scene
+        self.cfg = cfg
+        self.optimizer = make_optimizer(cfg.optim)
+
+        if scene.seed_points is not None and len(scene.seed_points) > 0:
+            params = init_from_points(
+                scene.seed_points, scene.seed_colors,
+                capacity=cfg.model.max_gaussians,
+                sh_degree=cfg.model.sh_degree,
+                init_opacity=cfg.model.init_opacity,
+                seed=cfg.seed,
+            )
+        else:
+            params = init_random(
+                n=min(50_000, cfg.model.max_gaussians // 2),
+                capacity=cfg.model.max_gaussians,
+                sh_degree=cfg.model.sh_degree,
+                init_opacity=cfg.model.init_opacity,
+                seed=cfg.seed,
+            )
+        opt_state = self.optimizer.init(_diff_params(params))
+        self.state = TrainState(
+            params=params, opt_state=opt_state,
+            densify=DensifyState.zeros(params.capacity),
+            step=jnp.int32(0),
+        )
+        self.train_step = make_train_step(cfg, self.optimizer)
+        self.refine_step = make_refine_step(cfg)
+        self.reset_step = make_reset_opacity_step(cfg)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.history: list[dict] = []
+
+    def _batch(self, view_idx: int):
+        s = self.scene
+        cam = s.cameras.at(view_idx)
+        image = jnp.asarray(s.images[view_idx])
+        depth = jnp.asarray(s.depths[view_idx]) if s.depths is not None else None
+        unc = (
+            jnp.asarray(s.uncertainties[view_idx])
+            if s.uncertainties is not None
+            else None
+        )
+        return cam, image, depth, unc
+
+    def active_sh_degree(self, step: int) -> int:
+        return min(step // self.cfg.sh_degree_interval, self.cfg.model.sh_degree)
+
+    def run(
+        self,
+        max_steps: Optional[int] = None,
+        log_fn: Optional[Callable[[dict], None]] = None,
+    ) -> dict:
+        cfg = self.cfg
+        steps = max_steps if max_steps is not None else cfg.max_steps
+        dcfg = cfg.densify
+        t0 = time.time()
+        last_metrics = {}
+        for step in range(steps):
+            view = int(self.rng.choice(self.scene.i_train))
+            cam, image, depth, unc = self._batch(view)
+            self.state, metrics = self.train_step(
+                self.state, cam, image, depth, unc,
+                jnp.int32(self.active_sh_degree(step)),
+            )
+            if (
+                dcfg.warmup_steps <= step < dcfg.stop_refine_at
+                and step % dcfg.refine_every == 0
+                and step > 0
+            ):
+                self.key, sub = jax.random.split(self.key)
+                self.state = self.refine_step(self.state, sub)
+            if step > 0 and step % dcfg.reset_opacity_every == 0 and step < dcfg.stop_refine_at:
+                self.state = self.reset_step(self.state)
+            if step % cfg.log_every == 0 or step == steps - 1:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics["step"] = step
+                last_metrics["iters_per_sec"] = (step + 1) / (time.time() - t0)
+                self.history.append(last_metrics)
+                if log_fn:
+                    log_fn(last_metrics)
+        return last_metrics
+
+    def render_view(self, view_idx: int, use_dense: bool = False):
+        cam = self.scene.cameras.at(view_idx)
+        out, _ = render(
+            self.state.params, cam, self.cfg.model,
+            active_sh_degree=self.cfg.model.sh_degree,
+            use_dense=use_dense,
+        )
+        return out
