@@ -1,0 +1,112 @@
+"""Benchmark: steady-state training iterations/sec on the flagship model.
+
+Runs on whatever accelerator JAX finds (the driver runs it on one real TPU
+chip).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference repo publishes no numbers (BASELINE.md); the comparison anchor
+is the north-star proxy: splatfacto on A100 trains a Touch-GS-scale scene at
+roughly 20 iters/sec (30k iters in ~25 min).  ``vs_baseline`` is measured
+iters/sec over that 20 it/s proxy; the ≥3x target from BASELINE.json means
+vs_baseline ≥ 3.0.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC = 20.0  # A100 splatfacto proxy (see module docstring)
+
+# benchmark scene scale (BASELINE.json configs[3]-ish, single chip)
+WIDTH, HEIGHT = 800, 800
+N_GAUSSIANS = 100_000
+CAPACITY = 131_072
+WARMUP_STEPS = 3
+TIMED_STEPS = 30
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from touchgs_tpu.config import (
+        DensifyConfig, DepthLossConfig, ModelConfig, OptimConfig,
+        RasterizeConfig, TrainConfig,
+    )
+    from touchgs_tpu.data.cameras import Camera
+    from touchgs_tpu.models.densify import DensifyState
+    from touchgs_tpu.models.gaussians import init_random
+    from touchgs_tpu.train.optim import make_optimizer
+    from touchgs_tpu.train.trainer import TrainState, _diff_params, make_train_step
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    cfg = TrainConfig(
+        model=ModelConfig(max_gaussians=CAPACITY, sh_degree=3,
+                          rasterize=RasterizeConfig()),
+        depth=DepthLossConfig(),
+        densify=DensifyConfig(),
+        optim=OptimConfig(),
+    )
+    params = init_random(n=N_GAUSSIANS, capacity=CAPACITY, sh_degree=3)
+    optimizer = make_optimizer(cfg.optim)
+    state = TrainState(
+        params=params,
+        opt_state=optimizer.init(_diff_params(params)),
+        densify=DensifyState.zeros(CAPACITY),
+        step=jnp.int32(0),
+    )
+
+    cam = Camera(
+        fx=jnp.float32(0.9 * WIDTH), fy=jnp.float32(0.9 * WIDTH),
+        cx=jnp.float32(WIDTH / 2), cy=jnp.float32(HEIGHT / 2),
+        c2w=jnp.asarray(
+            [[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 2.5], [0, 0, 0, 1]],
+            jnp.float32,
+        ),
+        width=WIDTH, height=HEIGHT,
+    )
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1.0, 3.0, (HEIGHT, WIDTH)), jnp.float32)
+    unc = jnp.ones((HEIGHT, WIDTH), jnp.float32)
+
+    step = make_train_step(cfg, optimizer)
+    sh = jnp.int32(3)
+
+    t0 = time.time()
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, cam, image, depth, unc, sh)
+    jax.block_until_ready(metrics)
+    log(f"warmup ({WARMUP_STEPS} steps incl. compile): {time.time()-t0:.1f}s "
+        f"loss={float(metrics['loss']):.4f}")
+
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        state, metrics = step(state, cam, image, depth, unc, sh)
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+    iters_per_sec = TIMED_STEPS / dt
+    mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
+    log(f"{TIMED_STEPS} steps in {dt:.2f}s → {iters_per_sec:.2f} it/s, "
+        f"{mpix_per_sec:.1f} Mpix/s rasterized (fwd+bwd), "
+        f"loss={float(metrics['loss']):.4f}")
+
+    print(json.dumps({
+        "metric": "train_iters_per_sec_800x800_100k_gaussians",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

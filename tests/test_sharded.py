@@ -1,0 +1,79 @@
+"""Multi-device sharded training tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4 item 4: the same scene trained on 1 chip vs N chips must be
+numerically identical (up to reduction-order fp noise).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchgs_tpu.parallel.mesh import make_mesh, state_shardings
+from touchgs_tpu.parallel.sharded import make_sharded_train_step, shard_state
+from touchgs_tpu.train.trainer import Trainer
+
+from tests.test_train import _make_synthetic_scene, _tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return _make_synthetic_scene(n_views=4, width=128, height=96, n_gauss=200)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == jax.device_count()
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_step_matches_single_device(scene):
+    cfg = _tiny_cfg()
+    trainer = Trainer(scene, cfg)
+    cam, image, depth, unc = trainer._batch(0)
+    sh = jnp.int32(0)
+
+    # single-device reference step
+    ref_state, ref_metrics = trainer.train_step(
+        jax.tree.map(lambda x: x, trainer.state), cam, image, depth, unc, sh
+    )
+
+    # sharded step on 4x2 mesh
+    mesh = make_mesh(data=4, model=2)
+    trainer2 = Trainer(scene, cfg)
+    state = shard_state(trainer2.state, mesh)
+    step = make_sharded_train_step(cfg, mesh, trainer2.optimizer)
+    new_state, metrics = step(state, cam, image, depth, unc, sh)
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.params.means), np.asarray(ref_state.params.means),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.params.sh_dc), np.asarray(ref_state.params.sh_dc),
+        atol=1e-5,
+    )
+
+
+def test_sharded_multi_step_runs(scene):
+    cfg = _tiny_cfg()
+    mesh = make_mesh()  # default full-device mesh
+    trainer = Trainer(scene, cfg)
+    state = shard_state(trainer.state, mesh)
+    step = make_sharded_train_step(cfg, mesh, trainer.optimizer)
+    losses = []
+    for i in range(5):
+        cam, image, depth, unc = trainer._batch(i % len(scene.i_train))
+        state, metrics = step(state, cam, image, depth, unc, jnp.int32(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # params stayed sharded over 'model'
+    shardings = state_shardings(mesh, state)
+    means_spec = state.params.means.sharding.spec
+    assert means_spec[0] == "model"

@@ -50,6 +50,8 @@ def render(
     means2d_offset: jnp.ndarray | None = None,
     use_dense: bool = False,
     k_tile: int = 1024,
+    tile_shards: int = 0,
+    tile_pspec=None,
 ) -> tuple[RenderOutput, ProjectedGaussians]:
     """Render one view. Returns (outputs, projected) — `projected` feeds the
     densification statistics (radii, validity)."""
@@ -80,6 +82,7 @@ def render(
         out = rasterize_tiled(
             proj, colors, opacities, camera.width, camera.height, rcfg,
             background=bg, k_tile=k_tile,
+            tile_shards=tile_shards, tile_pspec=tile_pspec,
         )
     return out, proj
 

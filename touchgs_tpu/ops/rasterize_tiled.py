@@ -36,6 +36,11 @@ def rasterize_tiled(
     k_tile: int = 1024,       # max gaussians composited per tile (front-most)
     k_chunk: int = 64,        # gaussians per scan step
     tile_block: int = 64,     # tiles per lax.map block
+    tile_shards: int = 0,     # >0: SPMD mode — shard the tile axis this many
+                              # ways (one vectorized body, no lax.map) and
+                              # constrain it with `tile_pspec`
+    tile_pspec=None,          # PartitionSpec for the (tiles, ...) axis, e.g.
+                              # P("data") — requires an active mesh context
 ) -> RenderOutput:
     if bins is None:
         bins = bin_gaussians(proj, width, height, cfg)
@@ -73,31 +78,33 @@ def rasterize_tiled(
     ptr = jnp.clip(ptr, 0, M - 1)
     gidx = jnp.where(in_list, bins.sorted_gauss[ptr], N)  # N = dead slot
 
-    # pad tiles to a multiple of tile_block
-    pad_tiles = (-n_tiles) % tile_block
+    # pad tiles to a multiple of tile_block (or of the shard count in SPMD mode)
+    if tile_shards > 0:
+        tile_block = -(-n_tiles // tile_shards)
+        pad_tiles = tile_shards * tile_block - n_tiles
+    else:
+        pad_tiles = (-n_tiles) % tile_block
     if pad_tiles:
         gidx = jnp.pad(gidx, ((0, pad_tiles), (0, 0)), constant_values=N)
         pix_x = jnp.pad(pix_x, ((0, pad_tiles), (0, 0)))
         pix_y = jnp.pad(pix_y, ((0, pad_tiles), (0, 0)))
     n_blocks = gidx.shape[0] // tile_block
 
-    gidx_b = gidx.reshape(n_blocks, tile_block, k_tile)
-    pix_xb = pix_x.reshape(n_blocks, tile_block, P)
-    pix_yb = pix_y.reshape(n_blocks, tile_block, P)
     n_steps = -(-k_tile // k_chunk)
     pad_k = n_steps * k_chunk - k_tile
 
     def run_block(args):
         gi, pxb, pyb = args  # (B, k_tile), (B, P), (B, P)
+        B = gi.shape[0]
         if pad_k:
             gi = jnp.pad(gi, ((0, 0), (0, pad_k)), constant_values=N)
-        gi_steps = gi.reshape(tile_block, n_steps, k_chunk).transpose(1, 0, 2)
+        gi_steps = gi.reshape(B, n_steps, k_chunk).transpose(1, 0, 2)
 
         init = (
-            jnp.zeros((tile_block, P, 3), jnp.float32),
-            jnp.zeros((tile_block, P), jnp.float32),
-            jnp.zeros((tile_block, P), jnp.float32),
-            jnp.zeros((tile_block, P), jnp.float32),
+            jnp.zeros((B, P, 3), jnp.float32),
+            jnp.zeros((B, P), jnp.float32),
+            jnp.zeros((B, P), jnp.float32),
+            jnp.zeros((B, P), jnp.float32),
         )
 
         def body(carry, gi_c):  # gi_c: (B, k_chunk)
@@ -128,7 +135,22 @@ def rasterize_tiled(
         (rgb, dep, acc, logT), _ = jax.lax.scan(body, init, gi_steps)
         return rgb, dep, acc, jnp.exp(logT)
 
-    rgb, dep, acc, T = jax.lax.map(run_block, (gidx_b, pix_xb, pix_yb))
+    if tile_shards > 0:
+        # SPMD: one vectorized pass over all tiles, the tile axis sharded
+        # across devices (SURVEY.md §2.12 tile-level rasterization parallelism)
+        def constrain(a):
+            if tile_pspec is not None:
+                return jax.lax.with_sharding_constraint(a, tile_pspec)
+            return a
+
+        rgb, dep, acc, T = run_block(
+            (constrain(gidx), constrain(pix_x), constrain(pix_y))
+        )
+    else:
+        gidx_b = gidx.reshape(n_blocks, tile_block, k_tile)
+        pix_xb = pix_x.reshape(n_blocks, tile_block, P)
+        pix_yb = pix_y.reshape(n_blocks, tile_block, P)
+        rgb, dep, acc, T = jax.lax.map(run_block, (gidx_b, pix_xb, pix_yb))
 
     # (n_blocks, tile_block, ...) → image
     def assemble(a, ch=None):
