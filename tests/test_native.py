@@ -1,0 +1,92 @@
+"""Native layer tests: build, PNG codec round-trips vs PIL, threaded loader."""
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from touchgs_tpu.native.loader import NativeLoader, decode_png, native_available
+
+NATIVE_DIR = Path(__file__).parent.parent / "touchgs_tpu" / "native"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+
+def test_capture_tool_builds():
+    subprocess.run(
+        ["make", "-C", str(NATIVE_DIR), "build/tgs_capture"],
+        check=True, capture_output=True, timeout=120,
+    )
+    r = subprocess.run(
+        [str(NATIVE_DIR / "build" / "tgs_capture"), "--device",
+         "/dev/null", "--count", "1"],
+        capture_output=True, timeout=10,
+    )
+    # no camera in this environment: must fail *gracefully*
+    assert r.returncode == 1
+    assert b"tgs_capture:" in r.stderr
+
+
+def test_decode_rgb8_matches_pil(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    p = tmp_path / "rgb.png"
+    Image.fromarray(img).save(p)
+    out = decode_png(p)
+    assert out.shape == (37, 53, 3)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_decode_u16_gray_matches_contract(tmp_path):
+    rng = np.random.default_rng(1)
+    depth_mm = rng.integers(0, 5000, (24, 31), dtype=np.uint16)
+    p = tmp_path / "depth.png"
+    Image.fromarray(depth_mm).save(p)
+    out = decode_png(p)
+    assert out.shape == (24, 31, 1)
+    np.testing.assert_allclose(
+        out[..., 0], depth_mm.astype(np.float32) / 1000.0, atol=1e-6
+    )
+
+
+def test_threaded_loader_prefetch(tmp_path):
+    rng = np.random.default_rng(2)
+    paths = []
+    imgs = []
+    for i in range(6):
+        img = rng.integers(0, 256, (20, 28, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        imgs.append(img)
+    loader = NativeLoader(paths, n_threads=3)
+    for i in range(6):
+        loader.prefetch(i)
+    # fetch out of order
+    for i in [3, 0, 5, 1, 4, 2]:
+        out = loader.get(i)
+        np.testing.assert_allclose(out, imgs[i].astype(np.float32) / 255.0,
+                                   atol=1e-7)
+    loader.close()
+
+
+def test_native_encode_roundtrip(tmp_path):
+    """WritePng → PIL read (cross-codec validation)."""
+    import ctypes
+    from touchgs_tpu.native import loader as L
+
+    lib = L._ensure_built()
+    depth = np.arange(16 * 20, dtype=np.uint16).reshape(16, 20) * 7
+    p = tmp_path / "enc.png"
+    rc = lib.tgs_encode_png_u16(
+        str(p).encode(), depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        16, 20,
+    )
+    assert rc == 0
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, depth)

@@ -27,7 +27,7 @@ def write_depth_mm(path: str | os.PathLike, depth_m: np.ndarray) -> None:
     """Write float meters → uint16 millimeter PNG (truncating cast, as the
     reference does at ``utils/fuse_touch_vision.py:373-376``)."""
     arr = (np.asarray(depth_m, dtype=np.float64) * MM_PER_M).astype(np.uint16)
-    Image.fromarray(arr, mode="I;16").save(path)
+    Image.fromarray(arr).save(path)
 
 
 def read_npy_depth(path: str | os.PathLike, nan_to_zero: bool = True) -> np.ndarray:

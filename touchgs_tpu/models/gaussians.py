@@ -51,20 +51,36 @@ class GaussianParams:
         return jnp.concatenate([self.sh_dc[:, None, :], self.sh_rest], axis=1)
 
 
-def _knn_mean_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
-    """Mean distance to the k nearest neighbors (host-side, chunked O(N^2))."""
+def _knn_mean_dist(points: np.ndarray, k: int = 3,
+                   max_reference: int = 4096, seed: int = 0) -> np.ndarray:
+    """Mean distance to the k nearest neighbors (host-side).
+
+    For large clouds the neighbor search runs against a ``max_reference``-point
+    random subsample — an O(N·R) approximation of the O(N²) exact search whose
+    error on the *mean* kNN distance is negligible for scale initialization.
+    """
     n = points.shape[0]
     if n <= k:
         return np.full((n,), 0.02, np.float32)
+    ref = points
+    if n > max_reference:
+        rng = np.random.default_rng(seed)
+        ref = points[rng.choice(n, max_reference, replace=False)]
+    r = ref.shape[0]
     out = np.empty((n,), np.float32)
     chunk = max(1, min(2048, n))
+    kk = min(k, r - 1)
     for s in range(0, n, chunk):
-        d2 = ((points[s:s + chunk, None, :] - points[None, :, :]) ** 2).sum(-1)
-        # k+1 smallest includes self-distance 0
-        idx = np.argpartition(d2, min(k, n - 1), axis=1)[:, : k + 1]
+        d2 = ((points[s:s + chunk, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        # k+1 smallest may include a self-distance 0 when the point is in ref
+        idx = np.argpartition(d2, kk, axis=1)[:, : kk + 1]
         dk = np.sqrt(np.take_along_axis(d2, idx, axis=1))
-        dk = np.sort(dk, axis=1)[:, 1 : k + 1]
-        out[s:s + chunk] = dk.mean(axis=1)
+        dk = np.sort(dk, axis=1)
+        # drop the self column only if it is an exact zero
+        first_nonself = (dk[:, 0] == 0).astype(int)
+        rows = np.arange(dk.shape[0])[:, None]
+        cols = first_nonself[:, None] + np.arange(kk)[None, :]
+        out[s:s + chunk] = dk[rows, cols].mean(axis=1)
     return np.maximum(out, 1e-7)
 
 

@@ -89,7 +89,10 @@ def _composite_pixels(
         logT = logT + jnp.sum(log1m, axis=1)
         return (rgb, dep, acc, logT), None
 
-    (rgb, dep, acc, logT), _ = jax.lax.scan(body, init, chunks)
+    # remat: keep backward memory at O(carry) instead of O(P x G)
+    (rgb, dep, acc, logT), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), init, chunks
+    )
     return rgb, dep, acc, jnp.exp(logT)
 
 

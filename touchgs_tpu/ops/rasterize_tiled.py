@@ -132,7 +132,13 @@ def rasterize_tiled(
             logT = logT + jnp.sum(log1m, axis=2)
             return (rgb, dep, acc, logT), None
 
-        (rgb, dep, acc, logT), _ = jax.lax.scan(body, init, gi_steps)
+        # remat the chunk body: without it XLA saves the (B, P, k) alpha
+        # tensors of EVERY scan step as backward residuals (~30 GB at bench
+        # scale); recomputing them in the backward sweep costs ~1 extra
+        # forward at a tiny fraction of the memory
+        (rgb, dep, acc, logT), _ = jax.lax.scan(
+            jax.checkpoint(body, prevent_cse=False), init, gi_steps
+        )
         return rgb, dep, acc, jnp.exp(logT)
 
     if tile_shards > 0:

@@ -1,0 +1,84 @@
+"""Checkpoint/resume via orbax (SURVEY.md §5: "orbax-style checkpoint of
+Gaussian pytree + opt state + densification counters").
+
+Run-dir layout mirrors nerfstudio's
+``outputs/<scene>/<method>/<timestamp>/`` contract
+(``experiment_utils/run_eval.py:28-43``): each run dir holds ``config.json``
+plus orbax step checkpoints; ``latest_run``/``load_run`` resolution is
+newest-first like run_eval.py:28-37.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+METHOD_NAME = "depth-gaussian-splatting"
+
+
+def make_run_dir(output_root: str | Path, scene_name: str) -> Path:
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    run_dir = Path(output_root) / scene_name / METHOD_NAME / stamp
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+def latest_run_dir(output_root: str | Path, scene_name: str,
+                   past_n: int = 0) -> Optional[Path]:
+    """Newest-first run-dir resolution (run_eval.py:28-37)."""
+    base = Path(output_root) / scene_name / METHOD_NAME
+    if not base.exists():
+        return None
+    runs = sorted((d for d in base.iterdir() if d.is_dir()), reverse=True)
+    return runs[past_n] if past_n < len(runs) else None
+
+
+def _config_to_jsonable(cfg) -> dict:
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
+        if isinstance(o, dict):
+            return {k: enc(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [enc(v) for v in o]
+        if hasattr(o, "value"):  # enums
+            return o.value
+        return o
+
+    return enc(cfg)
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str | Path, cfg=None, max_to_keep: int = 3):
+        self.run_dir = Path(run_dir)
+        self.ckpt_dir = self.run_dir / "checkpoints"
+        self._mgr = ocp.CheckpointManager(
+            self.ckpt_dir.absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+        if cfg is not None:
+            (self.run_dir / "config.json").write_text(
+                json.dumps(_config_to_jsonable(cfg), indent=2, default=str)
+            )
+
+    def save(self, step: int, state) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_like, step: Optional[int] = None):
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()

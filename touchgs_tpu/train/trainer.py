@@ -174,6 +174,7 @@ class Trainer:
         self,
         max_steps: Optional[int] = None,
         log_fn: Optional[Callable[[dict], None]] = None,
+        ckpt_manager=None,
     ) -> dict:
         cfg = self.cfg
         steps = max_steps if max_steps is not None else cfg.max_steps
@@ -203,6 +204,10 @@ class Trainer:
                 self.history.append(last_metrics)
                 if log_fn:
                     log_fn(last_metrics)
+            if ckpt_manager is not None and (
+                (step + 1) % cfg.checkpoint_every == 0 or step == steps - 1
+            ):
+                ckpt_manager.save(step + 1, self.state)
         return last_metrics
 
     def render_view(self, view_idx: int, use_dense: bool = False):
