@@ -35,7 +35,9 @@ class RasterizeConfig:
     sigma_cutoff: float = 3.0  # radius cutoff in standard deviations
     eps2d: float = 0.3         # 2D covariance dilation (antialiasing floor)
     near: float = 0.01         # near-plane cull
-    max_tiles_per_gaussian: int = 64   # cap for intersection binning
+    max_tiles_per_gaussian: int = 16   # cap for intersection binning; tiles
+                                       # are 8x128 px so 16 covers a ~4000 px²
+                                       # footprint (sort cost scales with this)
     max_intersections: int = 2 ** 21   # global (gaussian, tile) pair budget
     use_pallas: bool = False   # Pallas tile kernel vs. jnp scan oracle
 

@@ -78,6 +78,14 @@ def render(
             proj, colors, opacities, camera.width, camera.height, rcfg,
             background=bg,
         )
+    elif rcfg.use_pallas:
+        from touchgs_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        out = rasterize_pallas(
+            proj, colors, opacities, camera.width, camera.height, rcfg,
+            background=bg, k_tile=k_tile,
+            interpret=jax.default_backend() == "cpu",
+        )
     else:
         out = rasterize_tiled(
             proj, colors, opacities, camera.width, camera.height, rcfg,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from touchgs_tpu.config import RasterizeConfig
 from touchgs_tpu.ops.projection import ProjectedGaussians
 from touchgs_tpu.ops.rasterize_ref import RenderOutput
-from touchgs_tpu.ops.tiles import TileBins, bin_gaussians
+from touchgs_tpu.ops.tiles import TileBins, bin_gaussians, gather_1d
 
 
 def rasterize_tiled(
@@ -76,7 +76,7 @@ def rasterize_tiled(
     ptr = bins.tile_starts[:, None] + ks[None, :]
     in_list = ks[None, :] < jnp.minimum(bins.tile_counts, k_tile)[:, None]
     ptr = jnp.clip(ptr, 0, M - 1)
-    gidx = jnp.where(in_list, bins.sorted_gauss[ptr], N)  # N = dead slot
+    gidx = jnp.where(in_list, gather_1d(bins.sorted_gauss, ptr), N)  # N = dead slot
 
     # pad tiles to a multiple of tile_block (or of the shard count in SPMD mode)
     if tile_shards > 0:

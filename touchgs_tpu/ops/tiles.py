@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from touchgs_tpu.config import RasterizeConfig
@@ -34,6 +35,21 @@ class TileBins(NamedTuple):
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def gather_1d(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather from a large 1D array through a (M/128, 128) reshape.
+
+    The direct 1D gather triggers a pathological TPU XLA compile path
+    (hundreds of seconds at ~2M elements, measured on v5e); routing the same
+    gather through a 2D operand compiles in seconds with identical runtime.
+    """
+    m = src.shape[0]
+    pad = (-m) % 128
+    if pad:
+        src = jnp.pad(src, (0, pad))
+    src2 = src.reshape(-1, 128)
+    return src2[idx // 128, idx % 128]
 
 
 def bin_gaussians(
@@ -81,9 +97,11 @@ def bin_gaussians(
         jnp.arange(G, dtype=jnp.int32)[:, None], (G, T_cap)
     ).reshape(-1)
 
-    perm = jnp.argsort(flat_key)
-    sorted_key = flat_key[perm]
-    sorted_gauss = gauss_of_pair[perm]
+    # sort values alongside keys (argsort + 1D gathers at this size hit the
+    # pathological TPU gather compile path — see gather_1d)
+    sorted_key, sorted_gauss = jax.lax.sort(
+        (flat_key, gauss_of_pair), num_keys=1
+    )
     tile_of_pair = (sorted_key // G).astype(jnp.int32)
 
     tiles = jnp.arange(n_tiles, dtype=jnp.int32)

@@ -1,0 +1,117 @@
+"""Profiling + per-kernel roofline accounting (SURVEY.md §5: the reference has
+none; BASELINE.json requires "forward+backward kernel roofline per chip").
+
+Two tools:
+
+- ``trace(path)`` — context manager around `jax.profiler` for full XLA traces
+  (view with TensorBoard / xprof).
+- ``Roofline`` — analytic FLOP/byte models of the rasterization stages and a
+  `measure()` helper that times a jitted fn and reports achieved vs. peak
+  (peak numbers configurable per chip; defaults = TPU v5e).
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/touchgs_trace"):
+    """jax.profiler trace context (TensorBoard-compatible)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str = "v5e"
+    peak_flops_f32: float = 49e12      # MXU f32 (bf16 ≈ 197e12)
+    peak_flops_bf16: float = 197e12
+    hbm_bw: float = 819e9              # bytes/s
+
+
+V5E = ChipSpec()
+V5P = ChipSpec(name="v5p", peak_flops_f32=114e12, peak_flops_bf16=459e12,
+               hbm_bw=2765e9)
+
+
+@dataclasses.dataclass
+class StageCost:
+    """Analytic cost of one pipeline stage."""
+
+    name: str
+    flops: float
+    bytes_accessed: float
+
+    def arithmetic_intensity(self) -> float:
+        return self.flops / max(self.bytes_accessed, 1.0)
+
+    def roofline_time(self, chip: ChipSpec) -> float:
+        """Min achievable seconds under the roofline model (f32 peak)."""
+        return max(self.flops / chip.peak_flops_f32,
+                   self.bytes_accessed / chip.hbm_bw)
+
+
+def composite_cost(n_tiles: int, k_tile: int, tile_pixels: int,
+                   attr_lanes: int = 16, flops_per_pair: int = 30) -> StageCost:
+    """Per-render compositing cost: every (tile, entry, pixel) triple does
+    ~30 VPU flops; HBM traffic = gathered attrs + tile outputs."""
+    pairs = n_tiles * k_tile
+    return StageCost(
+        name="composite",
+        flops=float(pairs) * tile_pixels * flops_per_pair,
+        bytes_accessed=float(pairs) * attr_lanes * 4
+        + n_tiles * tile_pixels * 6 * 4,
+    )
+
+
+def binning_cost(num_gaussians: int, tiles_per_gaussian_cap: int) -> StageCost:
+    """Key build + radix-style sort of the (gaussian, tile) pairs."""
+    pairs = num_gaussians * tiles_per_gaussian_cap
+    # sort ≈ several passes over (key, value) pairs
+    return StageCost(
+        name="binning",
+        flops=float(pairs) * 10,
+        bytes_accessed=float(pairs) * 8 * 6,
+    )
+
+
+def measure(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median-free simple timing: mean seconds per call after warmup."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def report(stages: list[StageCost], measured_s: dict[str, float],
+           chip: ChipSpec = V5E) -> str:
+    """Human-readable roofline table."""
+    lines = [
+        f"roofline report — chip {chip.name} "
+        f"(peak {chip.peak_flops_f32/1e12:.0f} Tf32, "
+        f"{chip.hbm_bw/1e9:.0f} GB/s)",
+        f"{'stage':<12} {'GFLOP':>8} {'MB':>8} {'AI':>6} "
+        f"{'roof_ms':>8} {'meas_ms':>8} {'eff':>6}",
+    ]
+    for s in stages:
+        roof = s.roofline_time(chip)
+        meas = measured_s.get(s.name)
+        eff = f"{roof / meas:6.1%}" if meas else "   n/a"
+        meas_ms = f"{meas*1e3:8.2f}" if meas else "     n/a"
+        lines.append(
+            f"{s.name:<12} {s.flops/1e9:8.2f} {s.bytes_accessed/1e6:8.1f} "
+            f"{s.arithmetic_intensity():6.1f} {roof*1e3:8.2f} {meas_ms} {eff}"
+        )
+    return "\n".join(lines)
