@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from touchgs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from touchgs_tpu.config import (
         DensifyConfig, DepthLossConfig, ModelConfig, OptimConfig,
         RasterizeConfig, TrainConfig,
@@ -51,7 +55,9 @@ def main():
 
     cfg = TrainConfig(
         model=ModelConfig(max_gaussians=CAPACITY, sh_degree=3,
-                          rasterize=RasterizeConfig()),
+                          rasterize=RasterizeConfig(
+                              use_pallas=(dev.platform == "tpu")
+                          )),
         depth=DepthLossConfig(),
         densify=DensifyConfig(),
         optim=OptimConfig(),
