@@ -1,0 +1,157 @@
+"""Stage-by-stage timing of the bench train step on the live accelerator.
+
+Isolates projection / binning / gather / Pallas fwd / fwd+bwd / full step so
+kernel work can be attributed before optimizing (SURVEY.md §6 roofline duty).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, n=20, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n * 1000  # ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from touchgs_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from touchgs_tpu.config import (
+        DensifyConfig, DepthLossConfig, ModelConfig, OptimConfig,
+        RasterizeConfig, TrainConfig,
+    )
+    from touchgs_tpu.data.cameras import Camera
+    from touchgs_tpu.models.densify import DensifyState
+    from touchgs_tpu.models.gaussians import init_random
+    from touchgs_tpu.models.splatfacto import render, compute_losses
+    from touchgs_tpu.ops.projection import project_gaussians
+    from touchgs_tpu.ops.tiles import bin_gaussians, gather_1d
+    from touchgs_tpu.ops import rasterize_pallas as rp
+    from touchgs_tpu.train.optim import make_optimizer
+    from touchgs_tpu.train.trainer import TrainState, _diff_params, make_train_step
+
+    WIDTH = HEIGHT = 800
+    N, CAP = 100_000, 131_072
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    rcfg = RasterizeConfig(use_pallas=(dev.platform == "tpu"))
+    cfg = TrainConfig(
+        model=ModelConfig(max_gaussians=CAP, sh_degree=3, rasterize=rcfg),
+        depth=DepthLossConfig(), densify=DensifyConfig(), optim=OptimConfig(),
+    )
+    params = init_random(n=N, capacity=CAP, sh_degree=3)
+    cam = Camera(
+        fx=jnp.float32(0.9 * WIDTH), fy=jnp.float32(0.9 * WIDTH),
+        cx=jnp.float32(WIDTH / 2), cy=jnp.float32(HEIGHT / 2),
+        c2w=jnp.asarray([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 2.5],
+                         [0, 0, 0, 1]], jnp.float32),
+        width=WIDTH, height=HEIGHT,
+    )
+
+    # --- stage fns ---
+    def proj_of(p, means=None):
+        return project_gaussians(
+            means if means is not None else p.means, p.quats, p.scales(),
+            cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy, WIDTH, HEIGHT, rcfg,
+            extra_valid=p.alive)
+
+    @jax.jit
+    def f_project(p):
+        return proj_of(p)
+
+    @jax.jit
+    def f_bin(p):
+        return bin_gaussians(proj_of(p), WIDTH, HEIGHT, rcfg)
+
+    opac = params.opacities()
+    colors = jnp.abs(params.sh_dc)
+
+    @jax.jit
+    def f_fwd(p):
+        out = rp.rasterize_pallas(proj_of(p), colors, opac, WIDTH, HEIGHT, rcfg)
+        return out.rgb
+
+    @jax.jit
+    def f_fwd_bwd(p):
+        def loss(means):
+            out = rp.rasterize_pallas(proj_of(p, means), colors, opac,
+                                      WIDTH, HEIGHT, rcfg)
+            return jnp.sum(out.rgb) + jnp.sum(out.depth)
+        return jax.grad(loss)(p.means)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, (HEIGHT, WIDTH)), jnp.float32)
+    unc = jnp.ones((HEIGHT, WIDTH), jnp.float32)
+
+    optimizer = make_optimizer(cfg.optim)
+    state = TrainState(params=params,
+                       opt_state=optimizer.init(_diff_params(params)),
+                       densify=DensifyState.zeros(CAP), step=jnp.int32(0))
+    step = make_train_step(cfg, optimizer)
+
+    def time_step(n=10, warmup=3):
+        nonlocal state
+        for _ in range(warmup):
+            state, m = step(state, cam, image, depth, unc, jnp.int32(3))
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        for _ in range(n):
+            state, m = step(state, cam, image, depth, unc, jnp.int32(3))
+        jax.block_until_ready(m["loss"])
+        return (time.time() - t0) / n * 1000
+
+    # isolate the attr gather + its VJP scatter-add (the XLA side of the
+    # custom-vjp sandwich)
+    proj0 = f_project(params)
+    from touchgs_tpu.ops.rasterize_pallas import _pack_attrs
+    bins0 = f_bin(params)
+    attrs0 = _pack_attrs(proj0, colors, opac)
+    K_TILE = 1024
+    ks = jnp.arange(K_TILE, dtype=jnp.int32)
+    M = bins0.sorted_gauss.shape[0]
+    ptr = jnp.clip(bins0.tile_starts[:, None] + ks[None, :], 0, M - 1)
+    in_list = ks[None, :] < jnp.minimum(bins0.tile_counts, K_TILE)[:, None]
+    gidx0 = jnp.where(in_list, gather_1d(bins0.sorted_gauss, ptr),
+                      attrs0.shape[0] - 1)
+
+    @jax.jit
+    def f_gather(attrs):
+        return attrs[gidx0]
+
+    dattrs0 = f_gather(attrs0)
+
+    @jax.jit
+    def f_scatter(dat):
+        _, vjp = jax.vjp(lambda a: a[gidx0], attrs0)
+        return vjp(dat)[0]
+
+    print(f"gather:   {timeit(f_gather, attrs0):8.2f} ms")
+    print(f"scatter:  {timeit(f_scatter, dattrs0):8.2f} ms")
+    print(f"project:  {timeit(f_project, params):8.2f} ms")
+    print(f"bin:      {timeit(f_bin, params):8.2f} ms")
+    print(f"fwd:      {timeit(f_fwd, params):8.2f} ms")
+    print(f"fwd+bwd:  {timeit(f_fwd_bwd, params):8.2f} ms")
+    print(f"step:     {time_step():8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,18 +16,26 @@ import jax.numpy as jnp
 from touchgs_tpu.config import RasterizeConfig
 
 
-def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) wxyz quaternion → (..., 3, 3) rotation (normalizes input)."""
+def _rotmat_elems(q: jnp.ndarray):
+    """(..., 4) wxyz quaternion → tuple of 9 (...,) rotation-matrix entries.
+
+    Kept un-stacked: downstream consumers combine them scalar-wise, which XLA
+    maps onto pure VPU work.  Stacking into (N, 3, 3) and using batched 3x3
+    matmuls forces tiny-matrix MXU dispatches with terrible layouts (measured
+    8.7 ms for projection at 131k Gaussians on v5e; scalar form is <1 ms).
+    """
     q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    r = jnp.stack(
-        [
-            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-        ],
-        axis=-1,
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
     )
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz quaternion → (..., 3, 3) rotation (normalizes input)."""
+    r = jnp.stack(_rotmat_elems(q), axis=-1)
     return r.reshape(q.shape[:-1] + (3, 3))
 
 
@@ -57,18 +65,34 @@ def project_gaussians(
     cov Σ' = W Σ Wᵀ, screen cov = J Σ' Jᵀ with the local affine Jacobian J of
     the pinhole projection, dilated by ``cfg.eps2d`` for antialiasing.
     """
-    R_w2c = w2c[:3, :3]
-    t_w2c = w2c[:3, 3]
+    # Everything below is expressed over un-stacked (N,) columns: the batched
+    # (N,3,3) matmul formulation lowers to tiny-matrix MXU dispatches with
+    # pathological layouts (8.7 ms at 131k Gaussians on v5e); the scalar
+    # expansion is pure fused VPU work (<1 ms), numerically identical.
+    W = [[w2c[i, j] for j in range(3)] for i in range(3)]
+    t_w2c = [w2c[0, 3], w2c[1, 3], w2c[2, 3]]
 
-    # camera-space means
-    p_cam = means @ R_w2c.T + t_w2c            # (N, 3)
-    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    # camera-space means: p = W @ m + t
+    m0, m1, m2 = means[..., 0], means[..., 1], means[..., 2]
+    x = W[0][0] * m0 + W[0][1] * m1 + W[0][2] * m2 + t_w2c[0]
+    y = W[1][0] * m0 + W[1][1] * m1 + W[1][2] * m2 + t_w2c[1]
+    z = W[2][0] * m0 + W[2][1] * m1 + W[2][2] * m2 + t_w2c[2]
     zsafe = jnp.where(z > cfg.near, z, cfg.near)
 
-    # 3D covariance: R S Sᵀ Rᵀ
-    Rg = quat_to_rotmat(quats)                  # (N, 3, 3)
-    M = Rg * scales[..., None, :]               # R @ diag(s)
-    cov3d = M @ jnp.swapaxes(M, -1, -2)         # (N, 3, 3)
+    # A = (W @ R_g) ∘ broadcast(s): cam-frame gaussian axes scaled; then
+    # cov_cam = A Aᵀ  (= W R S Sᵀ Rᵀ Wᵀ, the EWA camera-space covariance)
+    Rg = _rotmat_elems(quats)                   # 9 × (N,)
+    s0, s1, s2 = scales[..., 0], scales[..., 1], scales[..., 2]
+    s = (s0, s1, s2)
+    A = [[
+        (W[i][0] * Rg[0 + j] + W[i][1] * Rg[3 + j] + W[i][2] * Rg[6 + j]) * s[j]
+        for j in range(3)] for i in range(3)]
+
+    def dotr(i, j):  # (A Aᵀ)_ij
+        return A[i][0] * A[j][0] + A[i][1] * A[j][1] + A[i][2] * A[j][2]
+
+    c00, c01, c02 = dotr(0, 0), dotr(0, 1), dotr(0, 2)
+    c11, c12, c22 = dotr(1, 1), dotr(1, 2), dotr(2, 2)
 
     # clamped view-space coords for the Jacobian (3DGS trick: limit to 1.3x fov)
     lim_x = 1.3 * (0.5 * width / fx)
@@ -76,25 +100,18 @@ def project_gaussians(
     tx = jnp.clip(x / zsafe, -lim_x, lim_x) * zsafe
     ty = jnp.clip(y / zsafe, -lim_y, lim_y) * zsafe
 
-    # J: 2x3 Jacobian of (fx X/Z + cx, fy Y/Z + cy)
+    # J rows: (j00, 0, j02), (0, j11, j12) — Jacobian of the pinhole map
     inv_z = 1.0 / zsafe
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(inv_z)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )                                           # (N, 2, 3)
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
 
-    W = jnp.broadcast_to(R_w2c, cov3d.shape)    # (N, 3, 3)
-    cov_cam = W @ cov3d @ jnp.swapaxes(W, -1, -2)
-    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)  # (N, 2, 2)
-
-    a = cov2d[..., 0, 0] + cfg.eps2d
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + cfg.eps2d
+    # cov2d = J cov_cam Jᵀ, expanded through the zero pattern of J
+    a = j00 * j00 * c00 + 2 * j00 * j02 * c02 + j02 * j02 * c22 + cfg.eps2d
+    b = j00 * (c01 * j11 + c02 * j12) + j02 * (c12 * j11 + c22 * j12)
+    c = j11 * j11 * c11 + 2 * j11 * j12 * c12 + j12 * j12 * c22 + cfg.eps2d
 
     det = a * c - b * b
     det_safe = jnp.where(det > 1e-12, det, 1e-12)

@@ -31,6 +31,8 @@ class TileBins(NamedTuple):
     tile_counts: jnp.ndarray   # (n_tiles,) run length
     n_tiles_x: int
     n_tiles_y: int
+    # tile id at each sorted position (diagnostics / future consumers)
+    tile_of_sorted: jnp.ndarray | None = None  # (M,)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -113,4 +115,5 @@ def bin_gaussians(
         tile_counts=ends - starts,
         n_tiles_x=n_tx,
         n_tiles_y=n_ty,
+        tile_of_sorted=tile_of_pair,
     )
