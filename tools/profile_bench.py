@@ -144,13 +144,54 @@ def main():
         _, vjp = jax.vjp(lambda a: a[gidx0], attrs0)
         return vjp(dat)[0]
 
-    print(f"gather:   {timeit(f_gather, attrs0):8.2f} ms")
-    print(f"scatter:  {timeit(f_scatter, dattrs0):8.2f} ms")
-    print(f"project:  {timeit(f_project, params):8.2f} ms")
-    print(f"bin:      {timeit(f_bin, params):8.2f} ms")
-    print(f"fwd:      {timeit(f_fwd, params):8.2f} ms")
-    print(f"fwd+bwd:  {timeit(f_fwd_bwd, params):8.2f} ms")
-    print(f"step:     {time_step():8.2f} ms")
+    # loss-side pieces
+    from touchgs_tpu.ops.ssim import ssim as ssim_fn
+    from touchgs_tpu.ops.sh import eval_sh
+
+    @jax.jit
+    def f_ssim_grad(img):
+        return jax.grad(lambda a: ssim_fn(a, image))(img)
+
+    @jax.jit
+    def f_sh_grad(dc, rest):
+        def f(dc, rest):
+            sh = jnp.concatenate([dc[:, None, :], rest], axis=1)
+            dirs = params.means / (jnp.linalg.norm(params.means, axis=-1,
+                                                   keepdims=True) + 1e-9)
+            return jnp.sum(eval_sh(sh, dirs, 3, 3))
+        return jax.grad(f, argnums=(0, 1))(dc, rest)
+
+    @jax.jit
+    def f_full_loss_grad(p):
+        diff = _diff_params(p)
+        def loss(diff, off):
+            from touchgs_tpu.train.trainer import _merge_params
+            pm = _merge_params(p, diff)
+            out, proj = render(pm, cam, cfg.model, active_sh_degree=jnp.int32(3),
+                               means2d_offset=off)
+            losses = compute_losses(out, image, depth, unc, cfg.depth, 0.2)
+            return losses.total
+        C = p.capacity
+        return jax.grad(loss, argnums=(0, 1))(diff, jnp.zeros((C, 2), jnp.float32))
+
+    @jax.jit
+    def f_adam(p, opt_state):
+        diff = _diff_params(p)
+        g = jax.tree.map(jnp.ones_like, diff)
+        updates, new_state = optimizer.update(g, opt_state, diff)
+        return jax.tree.map(lambda a, u: a + u, diff, updates)
+
+    print(f"gather:    {timeit(f_gather, attrs0):8.2f} ms")
+    print(f"scatter:   {timeit(f_scatter, dattrs0):8.2f} ms")
+    print(f"project:   {timeit(f_project, params):8.2f} ms")
+    print(f"bin:       {timeit(f_bin, params):8.2f} ms")
+    print(f"fwd:       {timeit(f_fwd, params):8.2f} ms")
+    print(f"fwd+bwd:   {timeit(f_fwd_bwd, params):8.2f} ms")
+    print(f"ssim+grad: {timeit(f_ssim_grad, image):8.2f} ms")
+    print(f"sh+grad:   {timeit(f_sh_grad, params.sh_dc, params.sh_rest):8.2f} ms")
+    print(f"loss+grad: {timeit(f_full_loss_grad, params):8.2f} ms")
+    print(f"adam:      {timeit(f_adam, params, state.opt_state):8.2f} ms")
+    print(f"step:      {time_step():8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -21,21 +21,30 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 _KERNEL = _gaussian_kernel()
 
 
+def _axis_blur(img: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
+    """1D Gaussian blur along `axis` as `size` weighted shifted adds.
+
+    Depthwise `conv_general_dilated` lowers to slow VPU code on TPU
+    (measured 6.6 ms for the SSIM fwd+grad at 800², dominating the loss
+    side); explicit pad+slice+add chains fuse into a handful of vector ops.
+    """
+    half = size // 2
+    pad_widths = [(0, 0)] * img.ndim
+    pad_widths[axis] = (half, half)
+    padded = jnp.pad(img, pad_widths)
+    n = img.shape[axis]
+    out = None
+    for i, w in enumerate(_KERNEL):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + n)
+        term = w * padded[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 def _blur(img: jnp.ndarray, size: int = 11) -> jnp.ndarray:
-    """Separable Gaussian blur over (H, W, C) with same padding per channel."""
-    k = jnp.asarray(_KERNEL)
-    c = img.shape[-1]
-    x = img[None]  # (1, H, W, C)
-    kh = jnp.tile(k.reshape(size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(k.reshape(1, size, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(size // 2, size // 2), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (size // 2, size // 2)], dimension_numbers=dn,
-        feature_group_count=c)
-    return x[0]
+    """Separable Gaussian blur over (H, W, C) with same (zero) padding."""
+    return _axis_blur(_axis_blur(img, 0, size), 1, size)
 
 
 def ssim(
@@ -45,12 +54,19 @@ def ssim(
     c2: float = 0.03**2,
 ) -> jnp.ndarray:
     """Mean SSIM over the image (scalar)."""
-    mu0 = _blur(img0)
-    mu1 = _blur(img1)
+    c = img0.shape[-1]
+    # one batched depthwise blur over 5·C channels instead of five C-channel
+    # blurs: depthwise convs are VPU-bound on TPU, so dispatch count and
+    # channel occupancy dominate
+    stacked = jnp.concatenate(
+        [img0, img1, img0 * img0, img1 * img1, img0 * img1], axis=-1)
+    blurred = _blur(stacked)
+    mu0 = blurred[..., 0:c]
+    mu1 = blurred[..., c:2 * c]
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    s00 = _blur(img0 * img0) - mu00
-    s11 = _blur(img1 * img1) - mu11
-    s01 = _blur(img0 * img1) - mu01
+    s00 = blurred[..., 2 * c:3 * c] - mu00
+    s11 = blurred[..., 3 * c:4 * c] - mu11
+    s01 = blurred[..., 4 * c:5 * c] - mu01
     ssim_map = ((2 * mu01 + c1) * (2 * s01 + c2)) / (
         (mu00 + mu11 + c1) * (s00 + s11 + c2)
     )

@@ -76,12 +76,14 @@ def bin_gaussians(
     bh = y1 - y0 + 1
     n_cover = bw * bh  # tiles covered by each gaussian (pre-cap)
 
-    # depth rank: position of each gaussian in the global front-to-back order
+    # depth rank: position of each gaussian in the global front-to-back
+    # order.  rank = inverse permutation of the depth argsort, computed with
+    # a second sort — a G-element scatter runs ~100 Melem/s on TPU while the
+    # sort is bandwidth-bound.
     sort_depth = jnp.where(proj.valid, proj.depths, jnp.inf)
-    order = jnp.argsort(sort_depth)
-    rank = jnp.zeros((G,), jnp.int32).at[order].set(
-        jnp.arange(G, dtype=jnp.int32)
-    )
+    iota = jnp.arange(G, dtype=jnp.int32)
+    _, order = jax.lax.sort((sort_depth, iota), num_keys=1)
+    _, rank = jax.lax.sort((order, iota), num_keys=1)
 
     # (G, T_cap) enumeration of covered tiles
     k = jnp.arange(T_cap, dtype=jnp.int32)[None, :]         # (1, T_cap)
