@@ -56,11 +56,15 @@ def render(
     """Render one view. Returns (outputs, projected) — `projected` feeds the
     densification statistics (radii, validity)."""
     rcfg = cfg.rasterize
+    opacities = params.opacities()
     proj = project_gaussians(
         params.means, params.quats, params.scales(),
         camera.w2c, camera.fx, camera.fy, camera.cx, camera.cy,
         camera.width, camera.height, rcfg,
         extra_valid=params.alive,
+        # culling radii only (ceil'd → zero-gradient); stop_gradient keeps the
+        # binning side-path out of the autodiff graph entirely
+        opacities=jax.lax.stop_gradient(opacities),
     )
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
@@ -71,7 +75,6 @@ def render(
         eval_sh(params.sh_coeffs(), dirs, cfg.sh_degree, active_sh_degree) + 0.5,
         0.0, None,
     )
-    opacities = params.opacities()
     bg = background if background is not None else jnp.asarray(cfg.background)
     if use_dense:
         out = rasterize_dense(

@@ -45,8 +45,14 @@ class ProjectedGaussians(NamedTuple):
     means2d: jnp.ndarray   # (N, 2) pixel coords
     conics: jnp.ndarray    # (N, 3) upper-tri of inverse 2D covariance (a, b, c)
     depths: jnp.ndarray    # (N,) camera-space z
-    radii: jnp.ndarray     # (N,) pixel radius (0 for culled)
+    radii: jnp.ndarray     # (N,) pixel radius at sigma_cutoff (0 for culled);
+                           # feeds densify max-screen-size stats
     valid: jnp.ndarray     # (N,) bool — in front of near plane & non-degenerate
+    # opacity-adaptive culling radius: beyond it α < alpha_threshold in every
+    # direction, so dropping (gaussian, tile) pairs outside it is EXACT w.r.t.
+    # the compositing kernels' keep-mask.  Falls back to `radii` when
+    # projection was not given opacities.
+    cull_radii: jnp.ndarray | None = None
 
 
 def project_gaussians(
@@ -58,6 +64,8 @@ def project_gaussians(
     width: int, height: int,
     cfg: RasterizeConfig = RasterizeConfig(),
     extra_valid: jnp.ndarray | None = None,  # (N,) e.g. alive-mask
+    opacities: jnp.ndarray | None = None,    # (N,) activated; enables exact
+                                             # opacity-adaptive cull radii
 ) -> ProjectedGaussians:
     """EWA splatting: perspective-project 3D Gaussians to 2D screen Gaussians.
 
@@ -125,18 +133,39 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     lambda1 = mid + disc
-    radius = jnp.ceil(cfg.sigma_cutoff * jnp.sqrt(lambda1))
+    sigma_max = jnp.sqrt(lambda1)
+    radius = jnp.ceil(cfg.sigma_cutoff * sigma_max)
+
+    # opacity-adaptive cull radius: α(p) ≤ op·exp(−½·|p−μ|²/λ1), so
+    # α < alpha_threshold whenever |p−μ| > σmax·√(2·ln(op/thr)).  The
+    # compositing kernels zero those contributions anyway (keep-mask), so
+    # binning with this radius is exact — and much tighter for the low-opacity
+    # Gaussians that dominate after init/opacity resets.  Capped at
+    # sigma_cutoff to preserve the historical 3σ truncation bound.
+    if opacities is not None:
+        cutoff = jnp.sqrt(2.0 * jnp.log(
+            jnp.maximum(opacities, 1e-12) / cfg.alpha_threshold))
+        cutoff = jnp.clip(cutoff, 0.0, cfg.sigma_cutoff)
+        cull_radius = jnp.ceil(cutoff * sigma_max)
+    else:
+        cull_radius = radius
 
     valid = (z > cfg.near) & (det > 1e-12)
     # frustum cull with radius margin
-    valid &= (mean2d[..., 0] + radius > 0) & (mean2d[..., 0] - radius < width)
-    valid &= (mean2d[..., 1] + radius > 0) & (mean2d[..., 1] - radius < height)
+    valid &= (mean2d[..., 0] + cull_radius > 0)
+    valid &= (mean2d[..., 0] - cull_radius < width)
+    valid &= (mean2d[..., 1] + cull_radius > 0)
+    valid &= (mean2d[..., 1] - cull_radius < height)
+    if opacities is not None:
+        valid &= cull_radius > 0
     if extra_valid is not None:
         valid &= extra_valid
 
     radius = jnp.where(valid, radius, 0.0)
+    cull_radius = jnp.where(valid, cull_radius, 0.0)
     return ProjectedGaussians(
-        means2d=mean2d, conics=conic, depths=z, radii=radius, valid=valid
+        means2d=mean2d, conics=conic, depths=z, radii=radius, valid=valid,
+        cull_radii=cull_radius,
     )
 
 

@@ -67,7 +67,7 @@ def bin_gaussians(
     T_cap = cfg.max_tiles_per_gaussian
 
     mx, my = proj.means2d[:, 0], proj.means2d[:, 1]
-    r = proj.radii
+    r = proj.radii if proj.cull_radii is None else proj.cull_radii
     x0 = jnp.clip(jnp.floor((mx - r) / cfg.tile_w), 0, n_tx - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r) / cfg.tile_w), 0, n_tx - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / cfg.tile_h), 0, n_ty - 1).astype(jnp.int32)
@@ -91,6 +91,15 @@ def bin_gaussians(
     ty = y0[:, None] + k // bw[:, None]
     tile_id = ty * n_tx + tx                                 # (G, T_cap)
     pair_ok = (k < jnp.minimum(n_cover, T_cap)[:, None]) & proj.valid[:, None]
+
+    # corner cull: drop bbox tiles whose rect lies entirely beyond the cull
+    # radius (α ≤ op·exp(−½d²/λ1) < threshold there — exact, see projection).
+    # Clamping the mean to the tile rect gives the closest-point distance.
+    tx0 = (tx * cfg.tile_w).astype(jnp.float32)
+    ty0 = (ty * cfg.tile_h).astype(jnp.float32)
+    dx = mx[:, None] - jnp.clip(mx[:, None], tx0, tx0 + cfg.tile_w)
+    dy = my[:, None] - jnp.clip(my[:, None], ty0, ty0 + cfg.tile_h)
+    pair_ok &= dx * dx + dy * dy <= (r * r)[:, None]
 
     key_dtype = jnp.int32 if (n_tiles + 1) * G < 2**31 else jnp.int64
     key = tile_id.astype(key_dtype) * G + rank[:, None].astype(key_dtype)
