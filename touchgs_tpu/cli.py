@@ -249,8 +249,15 @@ def cmd_train(args):
     run_dir = make_run_dir(args.output_dir, scene.name)
     mgr = CheckpointManager(run_dir, cfg)
     print(f"run dir: {run_dir}")
-    trainer.run(log_fn=lambda m: print(m), ckpt_manager=mgr)
+    viewer = None
+    if getattr(args, "viewer", False):
+        from touchgs_tpu.viewer import ViewerServer
+        viewer = ViewerServer(trainer=trainer, port=args.viewer_port).start()
+        print(f"live viewer at {viewer.url}")
+    trainer.run(log_fn=lambda m: print(m), ckpt_manager=mgr, viewer=viewer)
     mgr.close()
+    if viewer is not None:
+        viewer.stop()
     print(f"training complete → {run_dir}")
 
 
@@ -300,6 +307,35 @@ def cmd_render(args):
     print(f"renders → {render_dir}")
 
 
+def cmd_export_splat(args):
+    """ns-export gaussian-splat equivalent: trained run → standard 3DGS .ply."""
+    from touchgs_tpu.data.ply import save_gaussians_ply
+
+    trainer, scene, cfg, run_dir = _load_trained(args)
+    out = Path(args.ply_path) if args.ply_path else (run_dir / "splat.ply")
+    n = save_gaussians_ply(out, trainer.state.params)
+    print(f"wrote {n} splats → {out}")
+
+
+def cmd_viewer(args):
+    """Serve the live browser viewer on a trained run (nerfstudio viewer
+    equivalent — SURVEY.md §5 'nerfstudio viewer for live visualization')."""
+    from touchgs_tpu.viewer import ViewerServer
+
+    trainer, scene, cfg, run_dir = _load_trained(args)
+    srv = ViewerServer(trainer=trainer, port=args.port).start()
+    m = trainer.state
+    srv.update_status(int(m.step), float("nan"),
+                      int(m.params.num_alive), training=False)
+    print(f"viewer at {srv.url}  (run: {run_dir}; ctrl-c to stop)")
+    try:
+        import signal
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    srv.stop()
+
+
 def cmd_pipeline(args):
     """Full scene pipeline: fuse → transforms → seed → train → eval (the
     scripts/train_*.sh equivalent, driven by the preset matrix)."""
@@ -329,6 +365,9 @@ def _add_train_flags(p):
     p.add_argument("--render-dir", default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (bypass the TPU tunnel)")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the live browser viewer while training")
+    p.add_argument("--viewer-port", type=int, default=7007)
 
 
 def main(argv=None):
@@ -384,9 +423,16 @@ def main(argv=None):
     p.set_defaults(fn=cmd_seed)
 
     for name, fn in (("train", cmd_train), ("eval", cmd_eval),
-                     ("render", cmd_render), ("pipeline", cmd_pipeline)):
+                     ("render", cmd_render), ("pipeline", cmd_pipeline),
+                     ("export-splat", cmd_export_splat),
+                     ("viewer", cmd_viewer)):
         p = sub.add_parser(name)
         _add_train_flags(p)
+        if name == "export-splat":
+            p.add_argument("--ply-path", default=None,
+                           help="output .ply (default <run>/splat.ply)")
+        if name == "viewer":
+            p.add_argument("--port", type=int, default=7007)
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)

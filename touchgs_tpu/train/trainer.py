@@ -175,6 +175,7 @@ class Trainer:
         max_steps: Optional[int] = None,
         log_fn: Optional[Callable[[dict], None]] = None,
         ckpt_manager=None,
+        viewer=None,
     ) -> dict:
         cfg = self.cfg
         steps = max_steps if max_steps is not None else cfg.max_steps
@@ -204,6 +205,11 @@ class Trainer:
                 self.history.append(last_metrics)
                 if log_fn:
                     log_fn(last_metrics)
+                if viewer is not None:
+                    viewer.update_status(
+                        step, last_metrics.get("loss", float("nan")),
+                        last_metrics.get("num_alive", 0),
+                        training=step < steps - 1)
             if ckpt_manager is not None and (
                 (step + 1) % cfg.checkpoint_every == 0 or step == steps - 1
             ):
