@@ -246,6 +246,11 @@ def cmd_train(args):
           f"({len(scene.i_train)} train), depth={'yes' if scene.depths is not None else 'no'}, "
           f"seeds={'none' if scene.seed_points is None else len(scene.seed_points)}")
     trainer = Trainer(scene, cfg)
+    if args.load_run:  # resume (ns-train --load-dir equivalent)
+        prev = CheckpointManager(Path(args.load_run))
+        trainer.state = prev.restore(trainer.state)
+        prev.close()
+        print(f"resumed from {args.load_run} at step {int(trainer.state.step)}")
     run_dir = make_run_dir(args.output_dir, scene.name)
     mgr = CheckpointManager(run_dir, cfg)
     print(f"run dir: {run_dir}")
