@@ -95,3 +95,50 @@ def test_reset_opacities():
     params = _params()
     out = reset_opacities(params, 0.01)
     assert float(jax.nn.sigmoid(out.logit_opacities).max()) <= 0.0101
+
+
+def test_grad_normalization_resolution_invariant():
+    """splatfacto units: update_stats rescales pixel grads by 0.5*max(W,H),
+    so the densify decision for the same scene is resolution-independent
+    (gsplat convention — raw pixel grads would differ ~2x between these)."""
+    import jax
+
+    from touchgs_tpu.config import ModelConfig, RasterizeConfig
+    from touchgs_tpu.models.splatfacto import render
+    from tests.synthetic import look_at_camera
+
+    def normalized_avg_grad(width, height):
+        C = 1
+        params = GaussianParams(
+            means=jnp.array([[0.05, 0.0, 0.0]], jnp.float32),
+            quats=jnp.array([[1.0, 0, 0, 0]], jnp.float32),
+            log_scales=jnp.full((C, 3), np.log(0.15), jnp.float32),
+            logit_opacities=jnp.full((C,), 1.0, jnp.float32),
+            sh_dc=jnp.full((C, 3), 1.0, jnp.float32),
+            sh_rest=jnp.zeros((C, 0, 3), jnp.float32),
+            alive=jnp.ones((C,), bool),
+        )
+        target_params = dataclasses.replace(
+            params, means=jnp.array([[-0.05, 0.0, 0.0]], jnp.float32))
+        cam = look_at_camera(eye=(0, 0, 2.0), width=width, height=height,
+                             focal=1.2 * width)
+        mcfg = ModelConfig(max_gaussians=C, sh_degree=0,
+                           rasterize=RasterizeConfig(gaussian_chunk=128))
+        target, _ = render(target_params, cam, mcfg, active_sh_degree=0)
+        target = jax.lax.stop_gradient(target.rgb)
+
+        def loss(off):
+            out, _ = render(params, cam, mcfg, active_sh_degree=0,
+                            means2d_offset=off)
+            return jnp.mean(jnp.abs(out.rgb - target))
+
+        g = jax.grad(loss)(jnp.zeros((C, 2), jnp.float32))
+        st = update_stats(DensifyState.zeros(C), g, jnp.ones((C,)),
+                          params.alive, width, height)
+        return float(st.grad_accum[0] / st.grad_count[0])
+
+    g_lo = normalized_avg_grad(64, 64)
+    g_hi = normalized_avg_grad(128, 128)
+    assert g_lo > 0 and g_hi > 0
+    # normalized units agree across resolutions (raw pixel grads differ ~2x)
+    assert abs(g_hi - g_lo) / max(g_hi, g_lo) < 0.25, (g_lo, g_hi)

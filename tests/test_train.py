@@ -140,3 +140,17 @@ def test_render_after_training(tiny_scene):
     out = trainer.render_view(0)
     assert out.rgb.shape == (tiny_scene.images.shape[1], tiny_scene.images.shape[2], 3)
     assert not np.any(np.isnan(np.asarray(out.rgb)))
+
+
+def test_resume_continues_from_step(tiny_scene):
+    """ns-train --load-dir semantics: a restored state resumes schedules and
+    the step budget from state.step instead of replaying from 0."""
+    cfg = _tiny_cfg()
+    tr = Trainer(tiny_scene, cfg)
+    tr.run(max_steps=40)
+    assert int(tr.state.step) == 40
+    tr2 = Trainer(tiny_scene, cfg)
+    tr2.state = tr.state  # what CheckpointManager.restore produces
+    tr2.run(max_steps=60)
+    assert int(tr2.state.step) == 60  # ran exactly the 20-step remainder
+    assert all(h["step"] >= 40 for h in tr2.history)

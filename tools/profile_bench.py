@@ -181,17 +181,22 @@ def main():
         updates, new_state = optimizer.update(g, opt_state, diff)
         return jax.tree.map(lambda a, u: a + u, diff, updates)
 
-    print(f"gather:    {timeit(f_gather, attrs0):8.2f} ms")
-    print(f"scatter:   {timeit(f_scatter, dattrs0):8.2f} ms")
-    print(f"project:   {timeit(f_project, params):8.2f} ms")
-    print(f"bin:       {timeit(f_bin, params):8.2f} ms")
-    print(f"fwd:       {timeit(f_fwd, params):8.2f} ms")
-    print(f"fwd+bwd:   {timeit(f_fwd_bwd, params):8.2f} ms")
-    print(f"ssim+grad: {timeit(f_ssim_grad, image):8.2f} ms")
-    print(f"sh+grad:   {timeit(f_sh_grad, params.sh_dc, params.sh_rest):8.2f} ms")
-    print(f"loss+grad: {timeit(f_full_loss_grad, params):8.2f} ms")
-    print(f"adam:      {timeit(f_adam, params, state.opt_state):8.2f} ms")
-    print(f"step:      {time_step():8.2f} ms")
+    # flush per line: the tunnel's AOT compiles are high-variance (25 s to
+    # 15 min for the same program), so partial output must survive a timeout
+    def p(*a):
+        print(*a, flush=True)
+
+    p(f"step:      {time_step():8.2f} ms")
+    p(f"gather:    {timeit(f_gather, attrs0):8.2f} ms")
+    p(f"project:   {timeit(f_project, params):8.2f} ms")
+    p(f"bin:       {timeit(f_bin, params):8.2f} ms")
+    p(f"fwd:       {timeit(f_fwd, params):8.2f} ms")
+    p(f"fwd+bwd:   {timeit(f_fwd_bwd, params):8.2f} ms")
+    p(f"ssim+grad: {timeit(f_ssim_grad, image):8.2f} ms")
+    p(f"sh+grad:   {timeit(f_sh_grad, params.sh_dc, params.sh_rest):8.2f} ms")
+    p(f"adam:      {timeit(f_adam, params, state.opt_state):8.2f} ms")
+    p(f"loss+grad: {timeit(f_full_loss_grad, params):8.2f} ms")
+    p(f"scatter:   {timeit(f_scatter, dattrs0):8.2f} ms")
 
 
 if __name__ == "__main__":

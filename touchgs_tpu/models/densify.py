@@ -39,11 +39,23 @@ class DensifyState:
 
 def update_stats(
     state: DensifyState,
-    means2d_grad: jnp.ndarray,  # (C, 2) grad of loss w.r.t. screen positions
+    means2d_grad: jnp.ndarray,  # (C, 2) grad of loss w.r.t. PIXEL positions
     radii: jnp.ndarray,         # (C,)
     visible: jnp.ndarray,       # (C,) bool
+    width: int = 0,
+    height: int = 0,
 ) -> DensifyState:
+    """Accumulate positional-gradient stats in splatfacto's units.
+
+    gsplat returns pixel-space screen gradients; splatfacto rescales them by
+    ``0.5 * max(W, H)`` (pixel → NDC-like units) before comparing the running
+    average to ``grad_threshold = 0.0002`` — without this, the same threshold
+    means something ~400x different at 800² and densification never fires.
+    ``width/height = 0`` keeps raw pixel units (legacy callers/tests).
+    """
     g = jnp.linalg.norm(means2d_grad, axis=-1)
+    if width or height:
+        g = g * (0.5 * max(width, height))
     vis = visible.astype(jnp.float32)
     return DensifyState(
         grad_accum=state.grad_accum + g * vis,

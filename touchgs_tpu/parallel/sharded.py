@@ -79,7 +79,8 @@ def make_sharded_train_step(
         diff = jax.tree.map(lambda p, u: p + u, diff, updates)
         params = _merge_params(state.params, constrain_params(diff))
 
-        densify = update_stats(state.densify, screen_grads, proj.radii, proj.valid)
+        densify = update_stats(state.densify, screen_grads, proj.radii,
+                               proj.valid, camera.width, camera.height)
         new_state = TrainState(
             params=params, opt_state=opt_state, densify=densify,
             step=state.step + 1,

@@ -79,7 +79,8 @@ def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
         diff = jax.tree.map(lambda p, u: p + u, diff, updates)
         params = _merge_params(state.params, diff)
 
-        densify = update_stats(state.densify, screen_grads, proj.radii, proj.valid)
+        densify = update_stats(state.densify, screen_grads, proj.radii,
+                               proj.valid, camera.width, camera.height)
         new_state = TrainState(
             params=params, opt_state=opt_state, densify=densify,
             step=state.step + 1,
@@ -180,9 +181,18 @@ class Trainer:
         cfg = self.cfg
         steps = max_steps if max_steps is not None else cfg.max_steps
         dcfg = cfg.densify
+        # Resume from the restored step (ns-train --load-dir semantics): the
+        # SH warmup / densify window / opacity-reset schedules, the remaining
+        # step budget, and checkpoint indices all continue from state.step.
+        start = int(self.state.step)
+        if start:
+            # deterministic resume: re-derive the host RNG streams from the
+            # restored step so a resumed run doesn't replay the early stream
+            self.rng = np.random.default_rng(cfg.seed + start)
+            self.key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start)
         t0 = time.time()
         last_metrics = {}
-        for step in range(steps):
+        for step in range(start, steps):
             view = int(self.rng.choice(self.scene.i_train))
             cam, image, depth, unc = self._batch(view)
             self.state, metrics = self.train_step(
@@ -201,7 +211,8 @@ class Trainer:
             if step % cfg.log_every == 0 or step == steps - 1:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics["step"] = step
-                last_metrics["iters_per_sec"] = (step + 1) / (time.time() - t0)
+                last_metrics["iters_per_sec"] = (
+                    (step + 1 - start) / (time.time() - t0))
                 self.history.append(last_metrics)
                 if log_fn:
                     log_fn(last_metrics)

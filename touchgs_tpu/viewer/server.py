@@ -13,8 +13,13 @@ that renders the current Gaussian state on demand —
 
 Rendering runs through whatever callable the owner provides, so the same
 server fronts a live ``Trainer`` (pass ``trainer=``) or a frozen checkpoint
-(pass ``render_fn=``).  The render lock serializes viewer frames against
-training steps on the same device.
+(pass ``render_fn=``).  Live-trainer frames render from a *snapshot* of the
+Gaussian params published by ``update_status`` (called from the training
+thread between steps): the train step donates its input state's device
+buffers, so reading ``trainer.state`` from a viewer thread mid-step would hit
+deleted buffers — the snapshot is a copy whose buffers are never donated.
+A render lock serializes concurrent frame renders; the status dict has its
+own lock so ``/state`` and ``update_status`` never wait on a slow frame.
 """
 from __future__ import annotations
 
@@ -105,7 +110,9 @@ class ViewerServer:
             raise ValueError("pass render_fn or trainer")
         self._trainer = trainer
         self._render_fn = render_fn
-        self._lock = threading.Lock()
+        self._render_lock = threading.Lock()   # serializes frame renders
+        self._status_lock = threading.Lock()   # guards the status dict only
+        self._params_snapshot = None           # render-safe copy (see module doc)
         self._status = {"step": 0, "loss": float("nan"), "num_alive": 0,
                         "training": trainer is not None}
         self._max_dim = max_dim
@@ -139,6 +146,11 @@ class ViewerServer:
                         self._send(404, "text/plain", b"not found")
                 except BrokenPipeError:
                     pass
+                except ValueError as e:  # unparseable query parameters
+                    try:
+                        self._send(400, "text/plain", str(e).encode())
+                    except Exception:
+                        pass
                 except Exception as e:  # surface render errors to the page
                     try:
                         self._send(500, "text/plain", str(e).encode())
@@ -177,30 +189,47 @@ class ViewerServer:
     # --- training-side hooks ---
     def update_status(self, step: int, loss: float, num_alive: int,
                       training: bool = True):
-        with self._lock:
+        """Called from the training thread between steps.  Publishes status
+        AND a render-safe copy of the current Gaussian params (the trainer's
+        own buffers get donated/invalidated by the next step)."""
+        with self._status_lock:
             self._status = {"step": int(step), "loss": float(loss),
                             "num_alive": int(num_alive), "training": training}
+        if self._trainer is not None:
+            import jax
+            import jax.numpy as jnp
+
+            # reference swap is atomic; in-flight renders keep the old copy
+            self._params_snapshot = jax.tree.map(
+                jnp.copy, self._trainer.state.params)
 
     def status(self) -> dict:
-        with self._lock:
+        with self._status_lock:
             return dict(self._status)
 
     # --- rendering ---
     def _render(self, c2w: np.ndarray, width: int, height: int) -> dict:
         if self._render_fn is not None:
             return self._render_fn(c2w, width, height)
+        import jax
         import jax.numpy as jnp
 
         from touchgs_tpu.data.cameras import Camera
         from touchgs_tpu.models.splatfacto import render
 
         tr = self._trainer
+        params = self._params_snapshot
+        if params is None:
+            # no snapshot published yet (training hasn't started): the
+            # trainer thread is idle, so its state buffers are safe to copy
+            params = jax.tree.map(jnp.copy, tr.state.params)
+            self._params_snapshot = params
         f = 0.8 * max(width, height)
         cam = Camera(fx=jnp.float32(f), fy=jnp.float32(f),
                      cx=jnp.float32(width / 2), cy=jnp.float32(height / 2),
                      c2w=jnp.asarray(c2w, jnp.float32),
                      width=width, height=height)
-        out, _ = render(tr.state.params, cam, tr.cfg.model,
+        out, _ = render(params, cam, tr.cfg.model,
                         active_sh_degree=tr.cfg.model.sh_degree)
         return {"rgb": np.asarray(out.rgb), "depth": np.asarray(out.depth),
                 "acc": np.asarray(out.acc)}
@@ -208,16 +237,17 @@ class ViewerServer:
     def render_png(self, q: dict) -> bytes:
         from PIL import Image
 
+        # float()/int() raise ValueError on garbage → handler returns 400
         theta = float(q.get("theta", 0.0))
         phi = float(q.get("phi", 0.3))
         radius = float(q.get("radius", 2.5))
         center = (float(q.get("cx", 0)), float(q.get("cy", 0)),
                   float(q.get("cz", 0)))
-        w = min(int(q.get("w", 640)), self._max_dim)
-        h = min(int(q.get("h", 480)), self._max_dim)
+        w = max(1, min(int(q.get("w", 640)), self._max_dim))
+        h = max(1, min(int(q.get("h", 480)), self._max_dim))
         mode = q.get("mode", "rgb")
         c2w = orbit_c2w(theta, phi, radius, center)
-        with self._lock:
+        with self._render_lock:
             out = self._render(c2w, w, h)
         if mode == "rgb":
             arr = np.clip(np.asarray(out["rgb"]), 0, 1)

@@ -114,8 +114,24 @@ class VisualPipeline:
     def __post_init__(self):
         if self.model_type not in ("dpt", "zoe", "depth_anything"):
             raise ValueError(f"unknown model_type {self.model_type!r}")
-        # all three share the DPT trunk here; 'zoe'/'depth_anything' differ in
-        # weights (metric vs relative) which load through the same pytree
+        self._faithful = False
+        if self.weights_path and self._is_ported_dpt(self.weights_path):
+            # a ported torch checkpoint (tools/port_weights.py): use the
+            # architecture-exact DPT so real Intel/dpt-large (and the ZoeDepth
+            # trunk) weights produce reference-quality depth
+            from touchgs_tpu.vision.dpt import (
+                arch_from_params, dpt_forward, load_ported_npz, preprocess,
+            )
+
+            self.params = load_ported_npz(self.weights_path)
+            arch = arch_from_params(self.params)
+            self._faithful = True
+            self._dpt_preprocess = preprocess
+            self._apply = jax.jit(
+                lambda p, img: dpt_forward(p, img, arch))
+            return
+        # fallback: compact trunk, random or npz-pytree weights — all three
+        # model_types share it; 'zoe'/'depth_anything' differ only in weights
         self.model = DPTDepthModel()
         h, w = self.image_size
         dummy = jnp.zeros((h, w, 3), jnp.float32)
@@ -124,15 +140,26 @@ class VisualPipeline:
             self.params = load_npz_weights(self.params, self.weights_path)
         self._apply = jax.jit(self.model.apply)
 
+    @staticmethod
+    def _is_ported_dpt(path) -> bool:
+        try:
+            with np.load(path) as data:
+                return "dpt.embeddings.cls_token" in data.files
+        except Exception:
+            return False
+
     def predict_depth(self, rgb: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8/float image → (H, W) float32 depth (model units;
         metric alignment happens in fusion)."""
         orig_h, orig_w = rgb.shape[:2]
-        img = jnp.asarray(rgb, jnp.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        mh, mw = self.image_size
-        img = jax.image.resize(img, (mh, mw, 3), "bilinear")
+        if self._faithful:
+            img = self._dpt_preprocess(rgb, size=max(self.image_size))
+        else:
+            img = jnp.asarray(rgb, jnp.float32)
+            if img.max() > 1.5:
+                img = img / 255.0
+            mh, mw = self.image_size
+            img = jax.image.resize(img, (mh, mw, 3), "bilinear")
         depth = self._apply(self.params, img)
         depth = jax.image.resize(depth, (orig_h, orig_w), "bicubic")
         return np.asarray(jnp.maximum(depth, 0.0))
