@@ -17,7 +17,10 @@ from touchgs_tpu.data.depth_io import write_depth_mm
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("bunny_tiny")
+    return _build_scene_dir(tmp_path_factory.mktemp("bunny_tiny"))
+
+
+def _build_scene_dir(root):
     h, w = 48, 64
     n = 6
     rng = np.random.default_rng(0)
@@ -133,3 +136,59 @@ def test_train_eval_render(scene_dir, tmp_path):
     ])
     renders = list((run_dirs[0] / "renders").iterdir())
     assert len(renders) > 0
+
+
+def test_pipeline_runs_all_stages(tmp_path_factory, tmp_path):
+    """`pipeline` chains read-touch-depths → monodepth → fuse →
+    add-depth-paths → seed → train → eval (scripts/train_bunny_real.sh)."""
+    root = _build_scene_dir(tmp_path_factory.mktemp("pipe_scene"))
+    out_dir = tmp_path / "outputs"
+    cli.main([
+        "pipeline", "--data", str(root), "--preset", "bunny_real",
+        "--max-steps", "15", "--output-dir", str(out_dir), "--cpu",
+    ])
+    # every intermediate stage produced its contract outputs
+    assert len(list((root / "touch_depth").iterdir())) == 6
+    assert len(list((root / "zoe_depth").iterdir())) == 6
+    assert len(list((root / "fused_output_dir").iterdir())) == 6
+    assert len(list((root / "fused_output_dir_uncertainty").iterdir())) == 6
+    meta = json.loads((root / "transforms.json").read_text())
+    assert meta["frames"][0]["depth_file_path"].startswith("fused_output_dir/")
+    assert (root / "points_touch.npy").exists()
+    run_dirs = list(
+        (out_dir / root.name / "depth-gaussian-splatting").iterdir())
+    assert len(run_dirs) == 1
+    results = json.loads((run_dirs[0] / "eval.json").read_text())["results"]
+    assert {"psnr", "ssim", "lpips"} <= set(results)
+
+
+def test_eval_with_gt_depth(scene_dir, tmp_path):
+    """--gt-depth-dir/--object-mask-dir emit gt_depth_mse /
+    gt_object_depth_mse (get_results.py:48-52 contract)."""
+    out_dir = tmp_path / "outputs"
+    cli.main([
+        "train", "--data", str(scene_dir), "--preset", "bunny_real",
+        "--max-steps", "10", "--output-dir", str(out_dir), "--cpu",
+    ])
+    # synth GT depth + object masks for every view
+    gt_dir = scene_dir / "gt_depth"
+    mask_dir = scene_dir / "object_masks"
+    gt_dir.mkdir(exist_ok=True)
+    mask_dir.mkdir(exist_ok=True)
+    h, w = 48, 64
+    for i in range(6):
+        write_depth_mm(gt_dir / f"frame_{i:05d}.png",
+                       np.full((h, w), 1.2, np.float32))
+        Image.fromarray(
+            (np.arange(h * w).reshape(h, w) % 2 * 255).astype(np.uint8)
+        ).save(mask_dir / f"frame_{i:05d}.png")
+    cli.main([
+        "eval", "--data", str(scene_dir), "--preset", "bunny_real",
+        "--output-dir", str(out_dir), "--cpu",
+        "--gt-depth-dir", str(gt_dir), "--object-mask-dir", str(mask_dir),
+    ])
+    run_dirs = sorted(
+        (out_dir / scene_dir.name / "depth-gaussian-splatting").iterdir())
+    results = json.loads((run_dirs[-1] / "eval.json").read_text())["results"]
+    assert "gt_depth_mse" in results
+    assert "gt_object_depth_mse" in results

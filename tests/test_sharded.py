@@ -77,3 +77,37 @@ def test_sharded_multi_step_runs(scene):
     shardings = state_shardings(mesh, state)
     means_spec = state.params.means.sharding.spec
     assert means_spec[0] == "model"
+
+
+def test_sharded_pallas_matches_single_device(scene):
+    """VERDICT r1 item 3: the flagship Pallas kernel must compose with the
+    mesh — sharded (shard_map tiles over 'data') vs single-device parity."""
+    from touchgs_tpu.config import ModelConfig, RasterizeConfig
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, rasterize=RasterizeConfig(gaussian_chunk=128,
+                                                 use_pallas=True)))
+    trainer = Trainer(scene, cfg)
+    cam, image, depth, unc = trainer._batch(0)
+    sh = jnp.int32(0)
+
+    ref_state, ref_metrics = trainer.train_step(
+        jax.tree.map(lambda x: x, trainer.state), cam, image, depth, unc, sh
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    trainer2 = Trainer(scene, cfg)
+    state = shard_state(trainer2.state, mesh)
+    step = make_sharded_train_step(cfg, mesh, trainer2.optimizer)
+    new_state, metrics = step(state, cam, image, depth, unc, sh)
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.params.means), np.asarray(ref_state.params.means),
+        atol=1e-5,
+    )

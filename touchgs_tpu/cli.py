@@ -287,13 +287,50 @@ def _load_trained(args):
     return trainer, scene, cfg, run_dir
 
 
+def _load_view_stack(directory, scene, is_mask=False):
+    """Load a per-view stack (depth mm-PNG/npy or binary mask PNG) resized to
+    the scene's image resolution, ordered like the scene's views."""
+    from PIL import Image
+
+    from touchgs_tpu.data.depth_io import read_depth_mm, read_npy_depth
+
+    files = sorted(p for p in Path(directory).iterdir()
+                   if p.suffix.lower() in (".png", ".npy"))
+    if len(files) != scene.num_views:
+        sys.exit(f"{directory}: {len(files)} files != {scene.num_views} views")
+    H, W = scene.images.shape[1:3]
+    stack = []
+    for f in files:
+        if is_mask:
+            a = np.asarray(Image.open(f).convert("L").resize(
+                (W, H), Image.NEAREST)) > 0
+        else:
+            a = read_npy_depth(f) if f.suffix == ".npy" else read_depth_mm(f)
+            if a.shape != (H, W):
+                a = np.asarray(Image.fromarray(a).resize((W, H),
+                                                         Image.NEAREST))
+        stack.append(a)
+    return np.stack(stack)
+
+
 def cmd_eval(args):
-    """ns-eval equivalent: metrics JSON over the eval split."""
+    """ns-eval equivalent: metrics JSON over the eval split.
+
+    ``--gt-depth-dir`` / ``--object-mask-dir`` add the fork's
+    ``gt_depth_mse`` / ``gt_object_depth_mse`` metrics, gated on
+    ``IS_REAL_WORLD`` semantics via ``--is-sim``
+    (``experiment_utils/get_results.py:48-52``,
+    ``scripts/train_bunny_real.sh:54``)."""
     from touchgs_tpu.eval.runner import evaluate_scene, write_eval_json
 
     trainer, scene, cfg, run_dir = _load_trained(args)
+    gt_depths = (_load_view_stack(args.gt_depth_dir, scene)
+                 if getattr(args, "gt_depth_dir", None) else None)
+    object_masks = (_load_view_stack(args.object_mask_dir, scene, is_mask=True)
+                    if getattr(args, "object_mask_dir", None) else None)
     results = evaluate_scene(
         trainer.state.params, scene, cfg,
+        gt_depths=gt_depths, object_masks=object_masks,
         is_real_world=not args.is_sim,
     )
     out = args.output_path or (run_dir / "eval.json")
@@ -342,9 +379,78 @@ def cmd_viewer(args):
 
 
 def cmd_pipeline(args):
-    """Full scene pipeline: fuse → transforms → seed → train → eval (the
-    scripts/train_*.sh equivalent, driven by the preset matrix)."""
-    print(f"[pipeline] preset={args.preset} data={args.data}")
+    """Full scene pipeline (the scripts/train_*.sh equivalent, driven by the
+    preset matrix): read-touch-depths → gpis-render (when raw touch points
+    are given) → monocular depth → fuse → add-depth-paths → seed → train →
+    eval, each stage skipped when its outputs already exist
+    (``scripts/train_bunny_real.sh:1-57`` stage order)."""
+    import argparse as _ap
+
+    from touchgs_tpu.config import SCENE_PRESETS
+
+    root = Path(args.data)
+    preset = SCENE_PRESETS[args.preset] if args.preset else None
+    is_real = preset.is_real_world if preset else not args.is_sim
+    split = (args.train_split_fraction
+             if args.train_split_fraction is not None
+             else (preset.train_split_fraction if preset else 0.9))
+    percent_take = preset.percent_take if preset else 100.0
+    print(f"[pipeline] preset={args.preset} data={root} real={is_real}")
+
+    # 1. GPIS render (gpis/ submodule stage) when raw touch points are given
+    if args.touch_points and not (root / "gpis_depth").exists():
+        print("[pipeline] gpis-render")
+        cmd_gpis_render(_ap.Namespace(
+            root=str(root), points=args.touch_points, normals=None,
+            lengthscale=0.05, noise=1e-3, near=0.05, far=2.0, samples=128,
+            max_points=2048, cpu=getattr(args, "cpu", False)))
+
+    # 2. GPIS npy → touch_depth/touch_var PNGs (read_touch_depths.py)
+    if (root / "gpis_depth").exists() and not (root / "touch_depth").exists():
+        print("[pipeline] read-touch-depths")
+        cmd_read_touch_depths(_ap.Namespace(root=str(root)))
+
+    # 3. monocular depth (run_zoe_depth.py) — skipped if the dir exists
+    zoe_dir = root / args.zoe_dir
+    if not zoe_dir.exists():
+        print(f"[pipeline] monodepth → {zoe_dir}")
+        from touchgs_tpu.vision.monodepth import VisualPipeline
+
+        VisualPipeline(model_type="zoe",
+                       weights_path=args.zoe_weights).predict(
+            root / "imgs", zoe_dir)
+
+    # 4. fusion (fuse_touch_vision.py; scripts pass --use_uncertainty always)
+    fused_dir = root / "fused_output_dir"
+    if not fused_dir.exists() and (root / "touch_depth").exists():
+        aligning = "realsense_depths" if is_real else "sparse_depths"
+        print(f"[pipeline] fuse (aligning={aligning})")
+        cmd_fuse(_ap.Namespace(
+            root_dir=str(root), aligning_depths=aligning,
+            zoe_depth_path=args.zoe_dir, touch_depth="touch_depth",
+            touch_var="touch_var", vision_output_dir="vision",
+            fused_output_dir="fused_output_dir", use_uncertainty=True,
+            is_sim=not is_real, seed=0, cpu=getattr(args, "cpu", False)))
+
+    # 5. transforms.json depth/uncertainty paths
+    if fused_dir.exists():
+        meta = json.loads((root / "transforms.json").read_text())
+        if "depth_file_path" not in meta["frames"][0]:
+            print("[pipeline] add-depth-paths")
+            cmd_add_depth_paths(_ap.Namespace(
+                root_dir=str(root), transforms="transforms.json",
+                fused_output_dir="fused_output_dir"))
+
+    # 6. touch point-cloud seeding (create_point_cloud_from_touches.py)
+    if (root / "touch_depth").exists() and not (root / "points_touch.npy").exists():
+        print(f"[pipeline] seed (split={split}, percent_take={percent_take})")
+        cmd_seed(_ap.Namespace(
+            root_dir=str(root), image_dir="imgs",
+            touch_depth_dir="touch_depth", touch_var_dir="touch_var",
+            transform_json_path="transforms.json", train_split=split,
+            percent_take=percent_take, cpu=getattr(args, "cpu", False)))
+
+    # 7./8. train + eval (ns-train / run_eval.py)
     cmd_train(args)
     args.load_run = None
     cmd_eval(args)
@@ -438,6 +544,18 @@ def main(argv=None):
                            help="output .ply (default <run>/splat.ply)")
         if name == "viewer":
             p.add_argument("--port", type=int, default=7007)
+        if name in ("eval", "pipeline"):
+            p.add_argument("--gt-depth-dir", default=None,
+                           help="ground-truth depth dir → gt_depth_mse")
+            p.add_argument("--object-mask-dir", default=None,
+                           help="object mask dir → gt_object_depth_mse")
+        if name == "pipeline":
+            p.add_argument("--touch-points", default=None,
+                           help="raw touch point cloud npy for gpis-render")
+            p.add_argument("--zoe-dir", default="zoe_depth",
+                           help="monocular-depth output dir name")
+            p.add_argument("--zoe-weights", default=None,
+                           help="ported DPT/Zoe npz (tools/port_weights.py)")
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)

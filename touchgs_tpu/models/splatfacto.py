@@ -88,6 +88,7 @@ def render(
             proj, colors, opacities, camera.width, camera.height, rcfg,
             background=bg, k_tile=k_tile,
             interpret=jax.default_backend() == "cpu",
+            tile_shards=tile_shards, tile_pspec=tile_pspec,
         )
     else:
         out = rasterize_tiled(

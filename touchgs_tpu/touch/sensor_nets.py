@@ -4,20 +4,21 @@ Rebuild of the DenseTact v2 inference stack (SURVEY.md §2.11):
 
 - ``TouchDepthNet`` — tactile RGB 640×640 → per-pixel depth image, output
   clipped to [0, 255] like ``getDepth``
-  (``Img2Depth/img2depthforce.py:23-29``).  The reference uses a
-  DenseNet-161 encoder-decoder (``networks/DenseNet.py:443-547``); here a
-  dense-block conv encoder-decoder with skip connections — same contract,
-  TPU-friendly NHWC convs.
+  (``Img2Depth/img2depthforce.py:23-29``).  Compact random-init stand-in;
+  with ported weights ``DenseTactSensor`` switches to the
+  architecture-exact DenseNet-161 encoder-decoder in
+  ``touch/densetact_nets.py`` (``networks/DenseNet.py:443-572``).
 - ``ForceNet`` — tactile RGB → 6-DoF wrench, with the exact denormalization
   ranges of ``getForce`` (:31-39): force_range [11,11,14,.5,.5,.1], residual
-  [5.5,5.5,11,.25,.25,.05].  The reference backbone is SwinV2
-  (``networks/STForce.py:51-69``); here a strided conv + transformer-block
-  trunk with the same 6-output head.
+  [5.5,5.5,11,.25,.25,.05].  Compact stand-in; ported weights switch to the
+  faithful ``DenseNet_Force`` (densenet161 classifier + Linear 1000→500→6,
+  ``networks/STForce.py:123-143`` — the net cam_ros.py:125 deploys).  The
+  SwinV2 trunk variant lives in ``touch/swin_force.py``.
 - Input normalization matches ``transform_image`` (:13-21): /255, ImageNet
   mean/std.
 
-Weights: random init in this zero-egress image; port real checkpoints via the
-same flat-npz mechanism as the monodepth model.
+Weights: random init in this zero-egress image; port real checkpoints with
+``tools/port_weights.py`` and pass ``depth_weights=``/``force_weights=``.
 """
 from __future__ import annotations
 
@@ -137,17 +138,55 @@ class DenseTactSensor:
     input_size: int = 640
     seed: int = 0
     calib_index: Optional[np.ndarray] = None  # flat remap indices
+    depth_weights: Optional[str] = None  # ported DenseDepth npz
+    force_weights: Optional[str] = None  # ported DenseNet_Force npz
 
     def __post_init__(self):
-        self.depth_net = TouchDepthNet()
-        self.force_net = ForceNet()
+        # ported torch checkpoints (tools/port_weights.py) run through the
+        # architecture-exact DenseNet-161 nets; otherwise the compact
+        # random-init stand-ins keep the runtime contract exercisable
+        from touchgs_tpu.touch import densetact_nets as dt
+
+        self._faithful_depth = bool(
+            self.depth_weights and self._is_ported(self.depth_weights))
+        self._faithful_force = bool(
+            self.force_weights and self._is_ported(self.force_weights))
         key = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((self.input_size, self.input_size, 3), jnp.float32)
         k1, k2 = jax.random.split(key)
-        self.depth_params = self.depth_net.init(k1, dummy)
-        self.force_params = self.force_net.init(k2, dummy)
-        self._depth_fn = jax.jit(self.depth_net.apply)
-        self._force_fn = jax.jit(self.force_net.apply)
+        if self._faithful_depth:
+            self.depth_params = self._load_npz(self.depth_weights)
+            # cam_ros.py:113: DenseDepth(max_depth=256); input is
+            # transform_image-normalized (img2depthforce.py:13-21)
+            self._depth_fn = jax.jit(
+                lambda p, img: dt.dense_depth_forward(
+                    p, normalize_tactile(img), max_depth=256.0))
+        else:
+            self.depth_net = TouchDepthNet()
+            self.depth_params = self.depth_net.init(k1, dummy)
+            self._depth_fn = jax.jit(self.depth_net.apply)
+        if self._faithful_force:
+            self.force_params = self._load_npz(self.force_weights)
+            self._force_fn = jax.jit(
+                lambda p, img: dt.densenet_force_forward(
+                    p, normalize_tactile(img)))
+        else:
+            self.force_net = ForceNet()
+            self.force_params = self.force_net.init(k2, dummy)
+            self._force_fn = jax.jit(self.force_net.apply)
+
+    @staticmethod
+    def _is_ported(path) -> bool:
+        try:
+            with np.load(path) as data:
+                return "encoder.densenet.features.conv0.weight" in data.files
+        except Exception:
+            return False
+
+    @staticmethod
+    def _load_npz(path) -> dict:
+        with np.load(path) as data:
+            return {k: jnp.asarray(v) for k, v in data.items()}
 
     def rectify(self, raw: np.ndarray) -> np.ndarray:
         """Mask-index fisheye rectification + crop (rectifyimg contract)."""
