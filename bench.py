@@ -32,6 +32,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pallas_compile_smoke():
+    """Fail fast if Mosaic can't compile a trivial kernel on this backend
+    (VERDICT r1: interpret-only tests let a Mosaic regression ship)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    x = jnp.ones((8, 128), jnp.float32)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(x)
+    jax.block_until_ready(out)
+    log("pallas compile smoke OK")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -39,6 +58,7 @@ def main():
     from touchgs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    pallas_compile_smoke()
 
     from touchgs_tpu.config import (
         DensifyConfig, DepthLossConfig, ModelConfig, OptimConfig,
@@ -105,6 +125,40 @@ def main():
     log(f"{TIMED_STEPS} steps in {dt:.2f}s → {iters_per_sec:.2f} it/s, "
         f"{mpix_per_sec:.1f} Mpix/s rasterized (fwd+bwd), "
         f"loss={float(metrics['loss']):.4f}")
+
+    # per-stage roofline (BASELINE.md: "per-kernel roofline per chip");
+    # guarded so a slow tunnel compile can't sink the headline number
+    try:
+        from touchgs_tpu.models.splatfacto import render as render_fn
+        from touchgs_tpu.utils import profiling as prof
+
+        @jax.jit
+        def fwd_only(p):
+            out, _ = render_fn(p, cam, cfg.model, active_sh_degree=3)
+            return out.rgb
+
+        @jax.jit
+        def fwd_bwd(p):
+            def loss(means):
+                import dataclasses as _dc
+                out, _ = render_fn(_dc.replace(p, means=means), cam,
+                                   cfg.model, active_sh_degree=3)
+                return jnp.sum(out.rgb) + jnp.sum(out.depth)
+            return jax.grad(loss)(p.means)
+
+        t_fwd = prof.measure(fwd_only, state.params, iters=10)
+        t_bwd = prof.measure(fwd_bwd, state.params, iters=10)
+        n_tiles = -(-WIDTH // 128) * -(-HEIGHT // 8)
+        stages = [
+            prof.composite_cost(n_tiles, 1024, 1024),
+            prof.binning_cost(CAPACITY, 16),
+        ]
+        log(prof.report(stages, {"composite": t_fwd}))
+        log(f"render fwd: {t_fwd*1e3:.2f} ms   render fwd+bwd: "
+            f"{t_bwd*1e3:.2f} ms   full step: {dt/TIMED_STEPS*1e3:.2f} ms "
+            f"(loss/opt tail: {(dt/TIMED_STEPS - t_bwd)*1e3:.2f} ms)")
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"roofline report skipped: {e}")
 
     print(json.dumps({
         "metric": "train_iters_per_sec_800x800_100k_gaussians",

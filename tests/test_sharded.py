@@ -111,3 +111,17 @@ def test_sharded_pallas_matches_single_device(scene):
         np.asarray(new_state.params.means), np.asarray(ref_state.params.means),
         atol=1e-5,
     )
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host scaffolding degrades to single-host behavior (no
+    coordinator configured → no-op init, full-device mesh, full slice)."""
+    from touchgs_tpu.parallel.distributed import (
+        global_mesh, init_distributed, local_batch_slice,
+    )
+
+    assert init_distributed() is False  # no env/args → single-process no-op
+    mesh = global_mesh(model=2)
+    assert mesh.shape["data"] * mesh.shape["model"] == jax.device_count()
+    sl = local_batch_slice(10)
+    np.testing.assert_array_equal(sl, np.arange(10))

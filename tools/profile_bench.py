@@ -103,8 +103,11 @@ def main():
     unc = jnp.ones((HEIGHT, WIDTH), jnp.float32)
 
     optimizer = make_optimizer(cfg.optim)
-    state = TrainState(params=params,
-                       opt_state=optimizer.init(_diff_params(params)),
+    # the train step donates its input state: give it a COPY of params so
+    # donation can't delete the buffers the other stage fns still reference
+    params_copy = jax.tree.map(jnp.copy, params)
+    state = TrainState(params=params_copy,
+                       opt_state=optimizer.init(_diff_params(params_copy)),
                        densify=DensifyState.zeros(CAP), step=jnp.int32(0))
     step = make_train_step(cfg, optimizer)
 
@@ -181,22 +184,27 @@ def main():
         updates, new_state = optimizer.update(g, opt_state, diff)
         return jax.tree.map(lambda a, u: a + u, diff, updates)
 
-    # flush per line: the tunnel's AOT compiles are high-variance (25 s to
-    # 15 min for the same program), so partial output must survive a timeout
-    def p(*a):
-        print(*a, flush=True)
+    # flush per line + per-stage guard: the tunnel's AOT compiles are
+    # high-variance (25 s to 15 min for the same program) and occasionally
+    # return backend errors for individual subgraphs — partial output must
+    # survive both
+    def p(name, fn, *args):
+        try:
+            print(f"{name:<10} {timeit(fn, *args):8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:<10} FAILED: {str(e)[:90]}", flush=True)
 
-    p(f"step:      {time_step():8.2f} ms")
-    p(f"gather:    {timeit(f_gather, attrs0):8.2f} ms")
-    p(f"project:   {timeit(f_project, params):8.2f} ms")
-    p(f"bin:       {timeit(f_bin, params):8.2f} ms")
-    p(f"fwd:       {timeit(f_fwd, params):8.2f} ms")
-    p(f"fwd+bwd:   {timeit(f_fwd_bwd, params):8.2f} ms")
-    p(f"ssim+grad: {timeit(f_ssim_grad, image):8.2f} ms")
-    p(f"sh+grad:   {timeit(f_sh_grad, params.sh_dc, params.sh_rest):8.2f} ms")
-    p(f"adam:      {timeit(f_adam, params, state.opt_state):8.2f} ms")
-    p(f"loss+grad: {timeit(f_full_loss_grad, params):8.2f} ms")
-    p(f"scatter:   {timeit(f_scatter, dattrs0):8.2f} ms")
+    print(f"step:      {time_step():8.2f} ms", flush=True)
+    p("gather:", f_gather, attrs0)
+    p("fwd:", f_fwd, params)
+    p("fwd+bwd:", f_fwd_bwd, params)
+    p("ssim+grad:", f_ssim_grad, image)
+    p("adam:", f_adam, params, state.opt_state)
+    p("scatter:", f_scatter, dattrs0)
+    p("sh+grad:", f_sh_grad, params.sh_dc, params.sh_rest)
+    p("loss+grad:", f_full_loss_grad, params)
+    p("project:", f_project, params)
+    p("bin:", f_bin, params)
 
 
 if __name__ == "__main__":
