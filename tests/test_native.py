@@ -90,3 +90,47 @@ def test_native_encode_roundtrip(tmp_path):
     assert rc == 0
     back = np.asarray(Image.open(p))
     np.testing.assert_array_equal(back, depth)
+
+
+def test_sync_capture_tool(tmp_path):
+    """tgs_sync_capture (capturedata.cpp Save-class equivalent): synchronized
+    multi-stream snapshot under one shared index, pose feed over a Unix
+    datagram socket, CSV + per-camera PNG layout."""
+    import socket
+    import subprocess
+    import time as _time
+
+    subprocess.run(["make", "-C", str(NATIVE_DIR), "build/tgs_sync_capture"],
+                   check=True, capture_output=True)
+    out = tmp_path / "cap"
+    sock_path = str(tmp_path / "pose.sock")
+    proc = subprocess.Popen(
+        [str(NATIVE_DIR / "build" / "tgs_sync_capture"), "--out", str(out),
+         "--sim", "2", "--auto-capture", "4", "--rate-hz", "20",
+         "--pose-socket", sock_path],
+        stdin=subprocess.DEVNULL, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE)
+    # feed poses while it captures
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    for _ in range(40):
+        if Path(sock_path).exists():
+            break
+        _time.sleep(0.05)
+    for i in range(10):
+        try:
+            s.sendto(f"pose ee 0.1 0.2 {i} 0 0 0 1".encode(), sock_path)
+            s.sendto(b"wrench 1 2 3 0.1 0.2 0.3", sock_path)
+        except OSError:
+            pass
+        _time.sleep(0.05)
+    rc = proc.wait(timeout=30)
+    assert rc == 0, proc.stderr.read().decode()[-300:]
+    for cam in ("imgs_cam0", "imgs_cam1"):
+        frames = sorted((out / cam).iterdir())
+        assert len(frames) == 4, (cam, frames)
+    poses = (out / "poses.csv").read_text().strip().splitlines()
+    wrench = (out / "wrench.csv").read_text().strip().splitlines()
+    assert len(poses) == 5 and len(wrench) == 5  # header + 4 rows
+    assert poses[0].startswith("index,frame,x,y,z")
+    # at least one pose row picked up the socket feed
+    assert any(",ee," in row for row in poses[1:])

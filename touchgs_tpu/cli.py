@@ -57,6 +57,16 @@ def cmd_read_touch_depths(args):
         print(f"wrote {out_depth}/{num}.png")
 
 
+def cmd_read_realsense(args):
+    """RealSense npy depth → remapped uint16-mm PNGs
+    (``utils/read_realsense_depth.py:108-139`` equivalent)."""
+    from touchgs_tpu.data.realsense import process_realsense_dir
+
+    n = process_realsense_dir(args.root, in_dir=args.in_dir,
+                              out_dir=args.out_dir)
+    print(f"wrote {n} remapped depth maps → {args.root}/{args.out_dir}")
+
+
 def cmd_gpis_render(args):
     """Fit a GPIS on a touch point cloud and render per-view gpis_depth/
     gpis_var npy maps (the gpis/ submodule's job, SURVEY.md §2.8)."""
@@ -410,6 +420,14 @@ def cmd_pipeline(args):
         print("[pipeline] read-touch-depths")
         cmd_read_touch_depths(_ap.Namespace(root=str(root)))
 
+    # 2b. RealSense npy → remapped PNGs (read_realsense_depth.py)
+    if (root / "realsense_depth").exists() and not (
+            root / "realsense_depths").exists():
+        print("[pipeline] read-realsense")
+        cmd_read_realsense(_ap.Namespace(
+            root=str(root), in_dir="realsense_depth",
+            out_dir="realsense_depths"))
+
     # 3. monocular depth (run_zoe_depth.py) — skipped if the dir exists
     zoe_dir = root / args.zoe_dir
     if not zoe_dir.exists():
@@ -488,6 +506,12 @@ def main(argv=None):
     p = sub.add_parser("read-touch-depths")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_read_touch_depths)
+
+    p = sub.add_parser("read-realsense")
+    p.add_argument("--root", required=True)
+    p.add_argument("--in_dir", default="realsense_depth")
+    p.add_argument("--out_dir", default="realsense_depths")
+    p.set_defaults(fn=cmd_read_realsense)
 
     p = sub.add_parser("gpis-render")
     p.add_argument("--root", required=True)

@@ -140,14 +140,20 @@ def load_scene(
     )
     if downscale_factor > 1:
         cams = cams.rescale(1.0 / downscale_factor)
-        images = images[:, ::downscale_factor, ::downscale_factor]
+        nh, nw = h // downscale_factor, w // downscale_factor
+        # area-average RGB (nerfstudio's PIL resize semantics, antialiased);
+        # depth/uncertainty take nearest-sample — averaging across a depth
+        # edge would invent surfaces that exist in neither neighbor
+        d = downscale_factor
+        images = images[:, : nh * d, : nw * d]
+        images = images.reshape(n, nh, d, nw, d, 3).mean(axis=(2, 4))
         if depths is not None:
-            depths = depths[:, ::downscale_factor, ::downscale_factor]
+            depths = depths[:, : nh * d : d, : nw * d : d]
         if uncertainties is not None:
-            uncertainties = uncertainties[:, ::downscale_factor, ::downscale_factor]
+            uncertainties = uncertainties[:, : nh * d : d, : nw * d : d]
         cams = Cameras(
             fx=cams.fx, fy=cams.fy, cx=cams.cx, cy=cams.cy, c2w=cams.c2w,
-            width=images.shape[2], height=images.shape[1],
+            width=nw, height=nh,
         )
 
     i_train, i_eval = linspace_split(n, train_split_fraction, variant="dataparser")

@@ -58,16 +58,36 @@ def _feature_stack_params(seed: int = 0):
 
 
 @functools.lru_cache(maxsize=1)
-def _lpips_params():
+def _lpips_vgg_params():
+    """Ported real LPIPS-VGG weights (tools/port_weights.py npz), or None."""
     path = os.environ.get("TOUCHGS_LPIPS_WEIGHTS", "")
     if path and os.path.exists(path):
+        from touchgs_tpu.eval.lpips_vgg import is_lpips_params, load_lpips_params
+
+        if is_lpips_params(path):
+            return load_lpips_params(path)
+    return None
+
+
+@functools.lru_cache(maxsize=1)
+def _lpips_params():
+    path = os.environ.get("TOUCHGS_LPIPS_WEIGHTS", "")
+    if path and os.path.exists(path) and _lpips_vgg_params() is None:
         data = np.load(path)
         return [data[k] for k in sorted(data.files)]
     return _feature_stack_params()
 
 
 def lpips_distance(img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
-    """Perceptual distance between (H, W, 3) images in [0, 1]."""
+    """Perceptual distance between (H, W, 3) images in [0, 1].
+
+    With ported torch-lpips VGG weights (``TOUCHGS_LPIPS_WEIGHTS``) this is
+    the architecture-exact LPIPS; otherwise the random-feature fallback."""
+    vgg = _lpips_vgg_params()
+    if vgg is not None:
+        from touchgs_tpu.eval.lpips_vgg import lpips_vgg
+
+        return lpips_vgg(vgg, img0, img1)
     params = [jnp.asarray(w) for w in _lpips_params()]
 
     def features(img):
