@@ -138,3 +138,45 @@ def test_captures_to_transforms(tmp_path):
     assert f["camera_model"] == "OPENCV"
     assert f["w"] == 30 and f["h"] == 20
     assert (tmp_path / "transforms.json").exists()
+
+
+def test_sensor_loop_end_to_end(tmp_path):
+    """RunCamera-equivalent loop (cam_ros.py:276-321): grab → rectify →
+    depth/force nets → published outputs at the dir contract."""
+    from touchgs_tpu.touch.sensor_loop import SensorLoop, SyntheticSource
+
+    sensor = DenseTactSensor(input_size=64)
+    loop = SensorLoop(sensor=sensor, out_dir=tmp_path / "run",
+                      rate_hz=1000.0)  # no artificial sleep in tests
+    n = loop.run(SyntheticSource(size=64, n_frames=3))
+    assert n == 3
+    depth_files = sorted((tmp_path / "run" / "depth").iterdir())
+    assert len(depth_files) == 3
+    import numpy as _np
+    from PIL import Image
+
+    d = _np.asarray(Image.open(depth_files[0]))
+    assert d.dtype == _np.uint8 and d.shape == (64, 64)
+    force = (tmp_path / "run" / "force.csv").read_text().splitlines()
+    assert force[0] == "index,fx,fy,fz,tx,ty,tz"
+    assert len(force) == 4
+
+
+def test_sensor_loop_directory_replay(tmp_path):
+    """DirectorySource replays a tgs_capture-style dir through the loop."""
+    from PIL import Image
+
+    from touchgs_tpu.touch.sensor_loop import DirectorySource, SensorLoop
+
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        ).save(cap / f"frame_{i:05d}.png")
+    got = []
+    loop = SensorLoop(sensor=DenseTactSensor(input_size=64), rate_hz=1000.0,
+                      run_force=False, on_frame=lambda i, r: got.append(i))
+    assert loop.run(DirectorySource(cap)) == 2
+    assert got == [0, 1]

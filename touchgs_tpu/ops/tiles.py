@@ -106,15 +106,18 @@ def bin_gaussians(
     key = jnp.where(pair_ok, key, jnp.array(n_tiles, key_dtype) * G)  # sentinel
 
     flat_key = key.reshape(-1)
+    gauss_of_pair = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[:, None], (G, T_cap)
+    ).reshape(-1)
 
-    # sort KEYS ONLY (half the sort traffic of a (key, value) pair sort) and
-    # recover the gaussian from the key: rank = key % G is the position in
-    # the depth order, so gauss = order[rank].  Sentinels decode to order[0],
-    # which is harmless — they sort past every real tile segment and never
-    # land inside a tile's [start, count) window.
-    sorted_key = jax.lax.sort(flat_key)
-    rank_of_pair = (sorted_key % G).astype(jnp.int32)
-    sorted_gauss = gather_1d(order.astype(jnp.int32), rank_of_pair)
+    # sort values alongside keys.  (Two rejected alternatives, both measured
+    # on v5e: argsort + 1D gathers hits a pathological TPU gather compile
+    # path — see gather_1d; sorting keys ONLY and recovering the gaussian as
+    # order[key % G] halves sort traffic but the 2.1M-element scalar gather
+    # runs at ~100 Melem/s ≈ +17 ms — far slower than the pair sort.)
+    sorted_key, sorted_gauss = jax.lax.sort(
+        (flat_key, gauss_of_pair), num_keys=1
+    )
     tile_of_pair = (sorted_key // G).astype(jnp.int32)
 
     tiles = jnp.arange(n_tiles, dtype=jnp.int32)

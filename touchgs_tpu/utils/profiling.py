@@ -34,12 +34,15 @@ class ChipSpec:
     name: str = "v5e"
     peak_flops_f32: float = 49e12      # MXU f32 (bf16 ≈ 197e12)
     peak_flops_bf16: float = 197e12
+    peak_flops_vpu: float = 3.9e12     # vector unit f32 (8x128 lanes,
+                                       # ~4 ALUs, ~0.94 GHz) — the right peak
+                                       # for elementwise compositing work
     hbm_bw: float = 819e9              # bytes/s
 
 
 V5E = ChipSpec()
 V5P = ChipSpec(name="v5p", peak_flops_f32=114e12, peak_flops_bf16=459e12,
-               hbm_bw=2765e9)
+               peak_flops_vpu=7.9e12, hbm_bw=2765e9)
 
 
 @dataclasses.dataclass
@@ -49,14 +52,16 @@ class StageCost:
     name: str
     flops: float
     bytes_accessed: float
+    unit: str = "mxu"   # which compute peak bounds this stage: mxu | vpu
 
     def arithmetic_intensity(self) -> float:
         return self.flops / max(self.bytes_accessed, 1.0)
 
     def roofline_time(self, chip: ChipSpec) -> float:
-        """Min achievable seconds under the roofline model (f32 peak)."""
-        return max(self.flops / chip.peak_flops_f32,
-                   self.bytes_accessed / chip.hbm_bw)
+        """Min achievable seconds under the roofline model."""
+        peak = (chip.peak_flops_vpu if self.unit == "vpu"
+                else chip.peak_flops_f32)
+        return max(self.flops / peak, self.bytes_accessed / chip.hbm_bw)
 
 
 def composite_cost(n_tiles: int, k_tile: int, tile_pixels: int,
@@ -69,6 +74,7 @@ def composite_cost(n_tiles: int, k_tile: int, tile_pixels: int,
         flops=float(pairs) * tile_pixels * flops_per_pair,
         bytes_accessed=float(pairs) * attr_lanes * 4
         + n_tiles * tile_pixels * 6 * 4,
+        unit="vpu",  # per-(entry, pixel) elementwise math — VPU-bound
     )
 
 
