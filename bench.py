@@ -126,11 +126,69 @@ def main():
         f"{mpix_per_sec:.1f} Mpix/s rasterized (fwd+bwd), "
         f"loss={float(metrics['loss']):.4f}")
 
-    # per-stage roofline (BASELINE.md: "per-kernel roofline per chip");
+    # per-stage roofline with fwd AND bwd kernel rows priced on the work the
+    # kernels ACTUALLY scanned (chunks_done read back from the forward), plus
+    # tile-truncation telemetry (BASELINE.md "per-kernel roofline per chip");
     # guarded so a slow tunnel compile can't sink the headline number
     try:
         from touchgs_tpu.models.splatfacto import render as render_fn
+        from touchgs_tpu.ops import rasterize_pallas as rp
+        from touchgs_tpu.ops.projection import project_gaussians
+        from touchgs_tpu.ops.tiles import bin_gaussians
         from touchgs_tpu.utils import profiling as prof
+
+        rcfg = cfg.model.rasterize
+        p0 = state.params
+        opac = p0.opacities()
+        colors = jnp.abs(p0.sh_dc)
+
+        @jax.jit
+        def prep(p):
+            proj = project_gaussians(
+                p.means, p.quats, p.scales(), cam.w2c, cam.fx, cam.fy,
+                cam.cx, cam.cy, WIDTH, HEIGHT, rcfg, extra_valid=p.alive,
+                opacities=p.opacities())
+            return proj, bin_gaussians(proj, WIDTH, HEIGHT, rcfg)
+
+        proj, bins = prep(p0)
+        bins = bins._replace(n_tiles_x=int(bins.n_tiles_x),
+                             n_tiles_y=int(bins.n_tiles_y))
+        n_tiles = bins.n_tiles_x * bins.n_tiles_y
+        th, tw = rcfg.tile_h, rcfg.tile_w
+        k_tile = rcfg.k_tile
+        counts = np.asarray(bins.tile_counts, dtype=np.int64)
+        total_pairs = int(counts.sum())
+        kept_pairs = int(np.minimum(counts, k_tile).sum())
+
+        attrs = rp._pack_attrs(proj, colors, opac)
+        gidx = rp._slot_lists(
+            bins.sorted_gauss, bins.tile_starts,
+            jnp.minimum(bins.tile_counts, k_tile), n_tiles, k_tile,
+            proj.means2d.shape[0], False)
+        attrs_tiled = attrs[gidx]
+        nc = ((jnp.minimum(bins.tile_counts, k_tile) + 127) // 128
+              ).astype(jnp.int32)
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+
+        @jax.jit
+        def fwd_kernel(at):
+            return rp._forward_tiles(nc, tids, at, th, tw, k_tile, 128,
+                                     bins.n_tiles_x, rcfg, False)
+
+        fwd_stack = fwd_kernel(attrs_tiled)
+        done = np.asarray(fwd_stack[:, rp._ROW_DONE, 0], dtype=np.int64)
+        scanned = int(done.sum()) * 128
+        # lossy truncation: tiles whose list was capped AND whose composite
+        # was still unsaturated when the scan ended (max T over tile > 1e-3)
+        t_final = np.asarray(fwd_stack[:, rp._ROW_T].max(axis=-1))
+        lossy = int(((counts > k_tile) & (t_final > 1e-3)).sum())
+        grad_stack = jnp.ones_like(fwd_stack)
+
+        @jax.jit
+        def bwd_kernel(at, fs, gs):
+            d = fs[:, rp._ROW_DONE, 0].astype(jnp.int32)
+            return rp._backward_tiles(d, tids, at, fs, gs, th, tw, k_tile,
+                                      128, bins.n_tiles_x, rcfg, False)
 
         @jax.jit
         def fwd_only(p):
@@ -146,16 +204,28 @@ def main():
                 return jnp.sum(out.rgb) + jnp.sum(out.depth)
             return jax.grad(loss)(p.means)
 
+        npix = th * tw
+        t_fwdk = prof.measure(fwd_kernel, attrs_tiled, iters=10)
+        t_bwdk = prof.measure(bwd_kernel, attrs_tiled, fwd_stack, grad_stack,
+                              iters=10)
         t_fwd = prof.measure(fwd_only, state.params, iters=10)
         t_bwd = prof.measure(fwd_bwd, state.params, iters=10)
-        n_tiles = -(-WIDTH // 128) * -(-HEIGHT // 8)
         stages = [
-            prof.composite_cost(n_tiles, 1024, 1024),
-            prof.binning_cost(CAPACITY, 16),
+            prof.composite_cost(scanned, npix, n_tiles, "composite_fwd", 34),
+            prof.composite_cost(scanned, npix, n_tiles, "composite_bwd", 76),
+            prof.binning_cost(CAPACITY, rcfg.max_tiles_per_gaussian),
         ]
-        log(prof.report(stages, {"composite": t_fwd}))
-        log(f"render fwd: {t_fwd*1e3:.2f} ms   render fwd+bwd: "
-            f"{t_bwd*1e3:.2f} ms   full step: {dt/TIMED_STEPS*1e3:.2f} ms "
+        log(prof.report(stages, {"composite_fwd": t_fwdk,
+                                 "composite_bwd": t_bwdk}))
+        log(f"tile lists: {total_pairs} pairs, mean {counts.mean():.0f}/tile"
+            f", cap {k_tile} keeps {kept_pairs} "
+            f"({100 * kept_pairs / max(total_pairs, 1):.1f}%); "
+            f"kernels scanned {scanned} "
+            f"({100 * scanned / max(total_pairs, 1):.1f}% — early exit); "
+            f"lossy-truncated tiles (capped & unsaturated): {lossy}/{n_tiles}")
+        log(f"render fwd: {t_fwd*1e3:.2f} ms (kernel {t_fwdk*1e3:.2f})   "
+            f"render fwd+bwd: {t_bwd*1e3:.2f} ms (bwd kernel "
+            f"{t_bwdk*1e3:.2f})   full step: {dt/TIMED_STEPS*1e3:.2f} ms "
             f"(loss/opt tail: {(dt/TIMED_STEPS - t_bwd)*1e3:.2f} ms)")
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"roofline report skipped: {e}")

@@ -27,9 +27,24 @@ class DepthLossType(enum.Enum):
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    tile_h: int = 8            # pixel-tile height  (VPU sublane-aligned)
-    tile_w: int = 128          # pixel-tile width   (VPU lane-aligned)
+    # 32x32 keeps npix = 1024 (8 full vregs) but is square: overscan per
+    # (gaussian, tile) pair is (2r+th)(2r+tw), minimized for square tiles
+    # (24-29% fewer pixel-evals than 8x128 at both bench and trained-scene
+    # radii), and spatially-compact tiles saturate coherently so the
+    # whole-tile early exit actually fires (8x128 tiles span 128 px of
+    # unrelated content and almost never saturate as a unit).
+    tile_h: int = 32           # pixel-tile height  (VPU sublane-aligned)
+    tile_w: int = 32           # pixel-tile width
     gaussian_chunk: int = 256  # gaussians composited per scan step (oracle path)
+    k_tile: int = 512          # per-tile entry cap for the tile kernels.  The
+                               # backward's gather-VJP scatter-add costs ~16 ns
+                               # per (tile, slot) ROW on v5e regardless of
+                               # width/dtype, so the cap directly prices the
+                               # whole backward; entries past ~400 sit behind
+                               # T < 1e-4 in any saturating scene (the kernels
+                               # early-exit there anyway).  Truncation is
+                               # front-biased (nearest-first) and reported by
+                               # bench.py as the dropped-pair fraction.
     alpha_clip: float = 0.999  # max per-gaussian alpha (gsplat convention)
     alpha_threshold: float = 1.0 / 255.0  # skip contributions below this
     sigma_cutoff: float = 3.0  # radius cutoff in standard deviations
@@ -92,6 +107,15 @@ class OptimConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PoseOptConfig:
+    """Camera pose optimizer (legacy/config_tactile.py:36-37: camera_optimizer
+    mode="SO3xR3")."""
+
+    mode: str = "off"            # "off" | "SO3xR3"
+    lr: float = 6e-4             # nerfstudio camera_optimizer Adam default
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     max_steps: int = 30_000
     ssim_lambda: float = 0.2            # loss = (1-λ)L1 + λ(1-SSIM)
@@ -103,6 +127,7 @@ class TrainConfig:
     depth: DepthLossConfig = dataclasses.field(default_factory=DepthLossConfig)
     densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    pose_opt: PoseOptConfig = dataclasses.field(default_factory=PoseOptConfig)
 
 
 @dataclasses.dataclass(frozen=True)

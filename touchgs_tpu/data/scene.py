@@ -91,7 +91,10 @@ def load_scene(
     if max_views is not None:
         frames = frames[:max_views]
 
+    from touchgs_tpu.data.undistort import PARAM_KEYS
+
     poses, fx, fy, cx, cy = [], [], [], [], []
+    dist_params, fisheyes = [], []
     image_paths, depth_paths, unc_paths = [], [], []
     for frame in frames:
         img_path = data_dir / frame["file_path"]
@@ -102,6 +105,16 @@ def load_scene(
         fy.append(float(frame.get("fl_y", meta.get("fl_y", 0.0))))
         cx.append(float(frame.get("cx", meta.get("cx", 0.0))))
         cy.append(float(frame.get("cy", meta.get("cy", 0.0))))
+        # per-frame (or global) distortion + camera model
+        # (legacy/dataparser_tactile.py:92-146; touch cams are
+        # OPENCV_FISHEYE per armPose2Nerf.py:143-146)
+        dist_params.append(np.array(
+            [float(frame.get(k, meta.get(k, 0.0))) for k in PARAM_KEYS],
+            np.float64))
+        fisheyes.append(
+            str(frame.get("camera_model",
+                          meta.get("camera_model", "OPENCV"))).upper()
+            == "OPENCV_FISHEYE")
         image_paths.append(img_path)
         depth_paths.append(
             data_dir / frame["depth_file_path"] if "depth_file_path" in frame else None
@@ -132,6 +145,26 @@ def load_scene(
     uncertainties = None
     if load_uncertainty and all(p is not None and p.exists() for p in unc_paths):
         uncertainties = np.stack([read_depth_mm(p) * scale for p in unc_paths])
+
+    # rectify distorted captures to the ideal pinhole (frames with all-zero
+    # params pass through untouched); depth/uncertainty use nearest sampling
+    if any(p.any() for p in dist_params):
+        from touchgs_tpu.data.undistort import undistort_image
+
+        for i in range(n):
+            if not dist_params[i].any():
+                continue
+            images[i] = undistort_image(
+                images[i], fx[i], fy[i], cx[i], cy[i], dist_params[i],
+                fisheyes[i])
+            if depths is not None:
+                depths[i] = undistort_image(
+                    depths[i], fx[i], fy[i], cx[i], cy[i], dist_params[i],
+                    fisheyes[i], nearest=True)
+            if uncertainties is not None:
+                uncertainties[i] = undistort_image(
+                    uncertainties[i], fx[i], fy[i], cx[i], cy[i],
+                    dist_params[i], fisheyes[i], nearest=True)
 
     cams = Cameras(
         fx=np.array(fx, np.float32), fy=np.array(fy, np.float32),

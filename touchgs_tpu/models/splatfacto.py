@@ -38,7 +38,7 @@ from touchgs_tpu.ops.projection import (
 from touchgs_tpu.ops.rasterize_ref import RenderOutput, rasterize_dense
 from touchgs_tpu.ops.rasterize_tiled import rasterize_tiled
 from touchgs_tpu.ops.sh import eval_sh
-from touchgs_tpu.ops.ssim import ssim
+from touchgs_tpu.ops.ssim import ssim, ssim_cm
 
 
 def render(
@@ -49,13 +49,15 @@ def render(
     background: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
     use_dense: bool = False,
-    k_tile: int = 1024,
+    k_tile: int | None = None,
     tile_shards: int = 0,
     tile_pspec=None,
 ) -> tuple[RenderOutput, ProjectedGaussians]:
     """Render one view. Returns (outputs, projected) — `projected` feeds the
     densification statistics (radii, validity)."""
     rcfg = cfg.rasterize
+    if k_tile is None:
+        k_tile = rcfg.k_tile
     opacities = params.opacities()
     proj = project_gaussians(
         params.means, params.quats, params.scales(),
@@ -134,8 +136,13 @@ def compute_losses(
     depth_cfg: DepthLossConfig,
     ssim_lambda: float = 0.2,
 ) -> LossOutput:
-    l1 = jnp.mean(jnp.abs(out.rgb - image))
-    s = ssim(out.rgb, image)
+    # channel-major loss math: (H, W, 3) keeps C=3 on the TPU lane axis (2%
+    # occupancy); two cheap transposes buy full-width vector ops for the
+    # L1/SSIM stack (ssim fwd+grad measured 3.9 → ~1.3 ms at 800² on v5e)
+    rgb_cm = jnp.transpose(out.rgb, (2, 0, 1))
+    img_cm = jnp.transpose(image, (2, 0, 1))
+    l1 = jnp.mean(jnp.abs(rgb_cm - img_cm))
+    s = ssim_cm(rgb_cm, img_cm)
     ssim_loss = 1.0 - s
     rgb_total = (1.0 - ssim_lambda) * l1 + ssim_lambda * ssim_loss
     if depth is not None:
@@ -143,7 +150,7 @@ def compute_losses(
     else:
         d_loss = jnp.float32(0.0)
     total = rgb_total + depth_cfg.depth_loss_mult * d_loss
-    mse = jnp.mean((out.rgb - image) ** 2)
+    mse = jnp.mean((rgb_cm - img_cm) ** 2)
     psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
     return LossOutput(total=total, rgb_l1=l1, ssim_loss=ssim_loss,
                       depth_loss=d_loss, psnr=psnr)

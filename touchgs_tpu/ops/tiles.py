@@ -6,9 +6,18 @@ builds variable-length per-tile lists; XLA needs static shapes, so we:
 
 1. cap tiles-per-Gaussian at ``max_tiles_per_gaussian`` (enumerate a fixed k
    range, map k → (tile_x, tile_y) inside each Gaussian's bbox, mask overflow);
-2. build integer sort keys ``tile_id * G + depth_rank`` so one global sort
-   yields tiles grouped together and depth-ascending within each tile;
+2. build integer sort keys ``(tile_id << depth_bits) | quantized_depth`` so
+   one global sort yields tiles grouped together and depth-ascending within
+   each tile — exactly gsplat's (tile | depth-bits) radix key, with the depth
+   quantized to the bits left under the tile id (≥20).  Quantization ties make
+   near-equal-depth entries compose in arbitrary order, which is the same
+   property the CUDA kernel has;
 3. recover per-tile [start, count) extents with two searchsorteds.
+
+The depth-bits key replaces an earlier ``tile_id * G + depth_rank`` key whose
+rank needed an inverse-permutation double-sort over the Gaussians (2.3 ms at
+131k on v5e); the pair sort itself runs ``is_stable=False`` (5.2 → 3.7 ms at
+2.1M pairs).
 
 Truncation is front-biased: if a tile holds more than the consumer's cap, the
 kept entries are the nearest ones (depth rank ordering), which dominate the
@@ -76,14 +85,19 @@ def bin_gaussians(
     bh = y1 - y0 + 1
     n_cover = bw * bh  # tiles covered by each gaussian (pre-cap)
 
-    # depth rank: position of each gaussian in the global front-to-back
-    # order.  rank = inverse permutation of the depth argsort, computed with
-    # a second sort — a G-element scatter runs ~100 Melem/s on TPU while the
-    # sort is bandwidth-bound.
-    sort_depth = jnp.where(proj.valid, proj.depths, jnp.inf)
-    iota = jnp.arange(G, dtype=jnp.int32)
-    _, order = jax.lax.sort((sort_depth, iota), num_keys=1)
-    _, rank = jax.lax.sort((order, iota), num_keys=1)
+    # quantized depth: scale valid camera-space depths into the integer range
+    # left below the tile id bits (gsplat packs fp32 depth bits the same way)
+    depth_bits = 31 - max(n_tiles, 1).bit_length()
+    if depth_bits < 16:
+        raise ValueError(f"too many tiles ({n_tiles}) for int32 sort keys")
+    d = proj.depths
+    dmin = jnp.min(jnp.where(proj.valid, d, jnp.inf))
+    dmax = jnp.max(jnp.where(proj.valid, d, -jnp.inf))
+    dscale = ((1 << depth_bits) - 1) / jnp.maximum(dmax - dmin, 1e-9)
+    # clamp in INTEGER space: the f32 representation of 2^db − 1 rounds UP
+    # for db > 24, and a float clip would let dq bleed into the tile bits
+    dq = jnp.clip(((d - dmin) * dscale).astype(jnp.int32),
+                  0, (1 << depth_bits) - 1)
 
     # (G, T_cap) enumeration of covered tiles
     k = jnp.arange(T_cap, dtype=jnp.int32)[None, :]         # (1, T_cap)
@@ -101,24 +115,24 @@ def bin_gaussians(
     dy = my[:, None] - jnp.clip(my[:, None], ty0, ty0 + cfg.tile_h)
     pair_ok &= dx * dx + dy * dy <= (r * r)[:, None]
 
-    key_dtype = jnp.int32 if (n_tiles + 1) * G < 2**31 else jnp.int64
-    key = tile_id.astype(key_dtype) * G + rank[:, None].astype(key_dtype)
-    key = jnp.where(pair_ok, key, jnp.array(n_tiles, key_dtype) * G)  # sentinel
+    key = (tile_id << depth_bits) | dq[:, None]
+    key = jnp.where(pair_ok, key, jnp.int32(n_tiles) << depth_bits)  # sentinel
 
     flat_key = key.reshape(-1)
     gauss_of_pair = jnp.broadcast_to(
         jnp.arange(G, dtype=jnp.int32)[:, None], (G, T_cap)
     ).reshape(-1)
 
-    # sort values alongside keys.  (Two rejected alternatives, both measured
-    # on v5e: argsort + 1D gathers hits a pathological TPU gather compile
-    # path — see gather_1d; sorting keys ONLY and recovering the gaussian as
-    # order[key % G] halves sort traffic but the 2.1M-element scalar gather
-    # runs at ~100 Melem/s ≈ +17 ms — far slower than the pair sort.)
+    # sort values alongside keys, unstable (ties = same tile + same quantized
+    # depth, whose compositing order is immaterial).  (Two rejected
+    # alternatives, both measured on v5e: argsort + 1D gathers hits a
+    # pathological TPU gather compile path — see gather_1d; sorting keys ONLY
+    # and recovering the gaussian from the key halves sort traffic but the
+    # 2.1M-element scalar gather runs at ~100 Melem/s ≈ +17 ms.)
     sorted_key, sorted_gauss = jax.lax.sort(
-        (flat_key, gauss_of_pair), num_keys=1
+        (flat_key, gauss_of_pair), num_keys=1, is_stable=False
     )
-    tile_of_pair = (sorted_key // G).astype(jnp.int32)
+    tile_of_pair = sorted_key >> depth_bits
 
     tiles = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_of_pair, tiles, side="left").astype(jnp.int32)

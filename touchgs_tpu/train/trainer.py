@@ -38,6 +38,9 @@ class TrainState:
     opt_state: object
     densify: DensifyState
     step: jax.Array
+    # (n_cameras, 6) SO3xR3 tangents when cfg.pose_opt.mode != "off"
+    # (legacy/config_tactile.py:36-37), else None
+    pose_deltas: Optional[jax.Array] = None
 
 
 def _diff_params(params: GaussianParams) -> dict:
@@ -49,17 +52,27 @@ def _merge_params(params: GaussianParams, diff: dict) -> GaussianParams:
 
 
 def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
-    """Build the jitted train step: (state, camera, image, depth, unc) →
-    (state, metrics)."""
+    """Build the jitted train step: (state, camera, image, depth, unc,
+    active_sh_degree[, view_idx]) → (state, metrics).  ``view_idx`` selects
+    the camera's row of ``state.pose_deltas`` when the SO3xR3 pose optimizer
+    is enabled (cfg.pose_opt.mode)."""
+    pose_on = cfg.pose_opt.mode != "off"
 
     def step_fn(state: TrainState, camera: Camera, image, depth, unc,
-                active_sh_degree):
+                active_sh_degree, view_idx=None):
         C = state.params.capacity
 
         def loss_fn(diff, means2d_offset):
-            params = _merge_params(state.params, diff)
+            params = _merge_params(
+                state.params,
+                {k: v for k, v in diff.items() if k != "pose_deltas"})
+            cam = camera
+            if pose_on:
+                from touchgs_tpu.models.pose_opt import apply_pose_delta
+
+                cam = apply_pose_delta(camera, diff["pose_deltas"][view_idx])
             out, proj = render(
-                params, camera, cfg.model,
+                params, cam, cfg.model,
                 active_sh_degree=active_sh_degree,
                 means2d_offset=means2d_offset,
             )
@@ -69,6 +82,8 @@ def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
             return losses.total, (losses, proj)
 
         diff = _diff_params(state.params)
+        if pose_on:
+            diff["pose_deltas"] = state.pose_deltas
         offset0 = jnp.zeros((C, 2), jnp.float32)
         (loss, (losses, proj)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -77,13 +92,14 @@ def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
 
         updates, opt_state = optimizer.update(param_grads, state.opt_state, diff)
         diff = jax.tree.map(lambda p, u: p + u, diff, updates)
+        pose_deltas = diff.pop("pose_deltas", state.pose_deltas)
         params = _merge_params(state.params, diff)
 
         densify = update_stats(state.densify, screen_grads, proj.radii,
                                proj.valid, camera.width, camera.height)
         new_state = TrainState(
             params=params, opt_state=opt_state, densify=densify,
-            step=state.step + 1,
+            step=state.step + 1, pose_deltas=pose_deltas,
         )
         metrics = {
             "loss": loss,
@@ -104,8 +120,8 @@ def make_refine_step(cfg: TrainConfig):
             state.params, state.densify, key, cfg.densify
         )
         opt_state = reset_opt_slots(state.opt_state, touched, params.capacity)
-        return TrainState(
-            params=params, opt_state=opt_state, densify=densify, step=state.step
+        return dataclasses.replace(
+            state, params=params, opt_state=opt_state, densify=densify
         )
 
     return jax.jit(refine_fn, donate_argnums=(0,))
@@ -125,7 +141,11 @@ class Trainer:
     def __init__(self, scene: Scene, cfg: TrainConfig):
         self.scene = scene
         self.cfg = cfg
-        self.optimizer = make_optimizer(cfg.optim)
+        pose_on = cfg.pose_opt.mode != "off"
+        self.optimizer = make_optimizer(
+            cfg.optim,
+            extra_lrs={"pose_deltas": cfg.pose_opt.lr} if pose_on else None,
+        )
 
         if scene.seed_points is not None and len(scene.seed_points) > 0:
             params = init_from_points(
@@ -143,11 +163,18 @@ class Trainer:
                 init_opacity=cfg.model.init_opacity,
                 seed=cfg.seed,
             )
-        opt_state = self.optimizer.init(_diff_params(params))
+        pose_deltas = (
+            jnp.zeros((len(scene.cameras), 6), jnp.float32) if pose_on
+            else None
+        )
+        diff0 = _diff_params(params)
+        if pose_on:
+            diff0["pose_deltas"] = pose_deltas
+        opt_state = self.optimizer.init(diff0)
         self.state = TrainState(
             params=params, opt_state=opt_state,
             densify=DensifyState.zeros(params.capacity),
-            step=jnp.int32(0),
+            step=jnp.int32(0), pose_deltas=pose_deltas,
         )
         self.train_step = make_train_step(cfg, self.optimizer)
         self.refine_step = make_refine_step(cfg)
@@ -198,6 +225,7 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, cam, image, depth, unc,
                 jnp.int32(self.active_sh_degree(step)),
+                jnp.int32(view),
             )
             if (
                 dcfg.warmup_steps <= step < dcfg.stop_refine_at

@@ -64,16 +64,21 @@ class StageCost:
         return max(self.flops / peak, self.bytes_accessed / chip.hbm_bw)
 
 
-def composite_cost(n_tiles: int, k_tile: int, tile_pixels: int,
-                   attr_lanes: int = 16, flops_per_pair: int = 30) -> StageCost:
-    """Per-render compositing cost: every (tile, entry, pixel) triple does
-    ~30 VPU flops; HBM traffic = gathered attrs + tile outputs."""
-    pairs = n_tiles * k_tile
+def composite_cost(scanned_pairs: float, tile_pixels: int, n_tiles: int,
+                   name: str = "composite_fwd", flops_per_pair: int = 34,
+                   attr_lanes: int = 16) -> StageCost:
+    """Compositing kernel cost from the ACTUALLY SCANNED (entry, tile) pairs
+    (chunks_done × k_chunk per tile, read back from the forward's stacked
+    output) — not the k_tile capacity.  ``flops_per_pair`` is the per-(entry,
+    pixel) VPU op estimate: ~34 forward (α chain 12, exp2 as 1, mask 4,
+    prefix-product 14, weights 3), ~76 backward (forward recompute + prefix
+    SUM + gradient chain + six cross-lane moment reductions).  HBM traffic =
+    gathered attr rows + the stacked tile outputs."""
     return StageCost(
-        name="composite",
-        flops=float(pairs) * tile_pixels * flops_per_pair,
-        bytes_accessed=float(pairs) * attr_lanes * 4
-        + n_tiles * tile_pixels * 6 * 4,
+        name=name,
+        flops=float(scanned_pairs) * tile_pixels * flops_per_pair,
+        bytes_accessed=float(scanned_pairs) * attr_lanes * 4
+        + n_tiles * tile_pixels * 8 * 4,
         unit="vpu",  # per-(entry, pixel) elementwise math — VPU-bound
     )
 
