@@ -22,7 +22,8 @@ Consumers: ``touchgs_tpu.vision.dpt`` (DPT-Large / ZoeDepth trunk),
 
 Usage:
     python tools/port_weights.py <model> <checkpoint.pt> <out.npz>
-    model ∈ {dpt, lpips, densetact_depth, densetact_force}
+    model ∈ {dpt, zoedepth, depth_anything, lpips, densetact_depth,
+             densetact_force}
 """
 from __future__ import annotations
 
@@ -80,6 +81,8 @@ def port_densetact_force(sd: dict) -> dict:
 
 _PORTERS = {
     "dpt": port_dpt,
+    "zoedepth": port_state_dict,
+    "depth_anything": port_state_dict,
     "lpips": port_lpips,
     "densetact_depth": port_densetact_depth,
     "densetact_force": port_densetact_force,

@@ -115,10 +115,10 @@ class VisualPipeline:
         if self.model_type not in ("dpt", "zoe", "depth_anything"):
             raise ValueError(f"unknown model_type {self.model_type!r}")
         self._faithful = False
-        if self.weights_path and self._is_ported_dpt(self.weights_path):
-            # a ported torch checkpoint (tools/port_weights.py): use the
-            # architecture-exact DPT so real Intel/dpt-large (and the ZoeDepth
-            # trunk) weights produce reference-quality depth
+        kind = self._detect_ported(self.weights_path) if self.weights_path \
+            else None
+        if kind == "dpt":
+            # architecture-exact DPT: real Intel/dpt-large weights
             from touchgs_tpu.vision.dpt import (
                 arch_from_params, dpt_forward, load_ported_npz, preprocess,
             )
@@ -127,11 +127,53 @@ class VisualPipeline:
             arch = arch_from_params(self.params)
             self._faithful = True
             self._dpt_preprocess = preprocess
+            self._apply = jax.jit(lambda p, img: dpt_forward(p, img, arch))
+            return
+        if kind == "zoedepth":
+            # ZoeD_N / ZoeD_NK metric-bins model (zoe_depth.py:3-10); NK
+            # routing is resolved host-side per image via classify_domain
+            from touchgs_tpu.vision.dpt import load_ported_npz
+            from touchgs_tpu.vision import zoedepth as zd
+
+            self.params = load_ported_npz(self.weights_path)
+            arch = zd.arch_from_params(self.params)
+            self._faithful = True
+            self._dpt_preprocess = zd.preprocess
+            self._zoe_arch = arch
+            if len(arch.bin_configurations) > 1:
+                names = [b.name for b in arch.bin_configurations]
+                fwd = {
+                    n: jax.jit(lambda p, img, n=n: zd.zoedepth_forward(
+                        p, img, arch, bin_config_name=n)) for n in names}
+
+                @jax.jit
+                def route(p, img):
+                    taps, ph, pw = zd._beit_backbone(p, img[None], arch)
+                    _, bottleneck = zd._neck(p, taps, ph, pw, arch)
+                    return zd.classify_domain(p, bottleneck, arch)
+
+                def apply(p, img):
+                    logits = np.asarray(route(p, img))[0]
+                    return fwd[names[int(np.argmax(logits))]](p, img)
+
+                self._apply = apply
+            else:
+                self._apply = jax.jit(
+                    lambda p, img: zd.zoedepth_forward(p, img, arch))
+            return
+        if kind == "depth_anything":
+            from touchgs_tpu.vision.dpt import load_ported_npz
+            from touchgs_tpu.vision import depth_anything as da
+
+            self.params = load_ported_npz(self.weights_path)
+            arch = da.arch_from_params(self.params)
+            self._faithful = True
+            self._dpt_preprocess = da.preprocess
             self._apply = jax.jit(
-                lambda p, img: dpt_forward(p, img, arch))
+                lambda p, img: da.depth_anything_forward(p, img, arch))
             return
         # fallback: compact trunk, random or npz-pytree weights — all three
-        # model_types share it; 'zoe'/'depth_anything' differ only in weights
+        # model_types share it when no ported checkpoint is supplied
         self.model = DPTDepthModel()
         h, w = self.image_size
         dummy = jnp.zeros((h, w, 3), jnp.float32)
@@ -141,12 +183,21 @@ class VisualPipeline:
         self._apply = jax.jit(self.model.apply)
 
     @staticmethod
-    def _is_ported_dpt(path) -> bool:
+    def _detect_ported(path) -> str | None:
+        """Classify a ported npz by its torch state_dict keys."""
         try:
             with np.load(path) as data:
-                return "dpt.embeddings.cls_token" in data.files
+                files = set(data.files)
         except Exception:
-            return False
+            return None
+        if "dpt.embeddings.cls_token" in files:
+            return "dpt"
+        if any(k.startswith("metric_head.") for k in files):
+            return "zoedepth"
+        if "backbone.embeddings.cls_token" in files and any(
+                k.startswith("neck.reassemble_stage.") for k in files):
+            return "depth_anything"
+        return None
 
     def predict_depth(self, rgb: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8/float image → (H, W) float32 depth (model units;
