@@ -134,3 +134,55 @@ def test_sync_capture_tool(tmp_path):
     assert poses[0].startswith("index,frame,x,y,z")
     # at least one pose row picked up the socket feed
     assert any(",ee," in row for row in poses[1:])
+
+
+def test_jpeg_decode_native():
+    """MJPEG capture-path codec (usb_cam.cpp ffmpeg-MJPEG equivalent): the
+    native libjpeg decode matches PIL on a round-tripped JPEG."""
+    import ctypes
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from touchgs_tpu.native.loader import _ensure_built
+
+    lib = _ensure_built()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    lib.tgs_decode_jpeg.restype = ctypes.c_int
+    lib.tgs_decode_jpeg.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int)]
+
+    rng = np.random.default_rng(0)
+    # smooth image: JPEG is lossy, keep content low-frequency for a tight bound
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([
+        (127 + 120 * np.sin(xx / 11.0)),
+        (127 + 120 * np.cos(yy / 9.0)),
+        (127 + 100 * np.sin((xx + yy) / 15.0)),
+    ], axis=-1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    data = np.frombuffer(buf.getvalue(), np.uint8)
+
+    out = np.zeros(48 * 64 * 3, np.uint8)
+    shape = (ctypes.c_int * 3)()
+    n = lib.tgs_decode_jpeg(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size, shape)
+    assert n == 48 * 64 * 3
+    assert tuple(shape) == (48, 64, 3)
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    got = out.reshape(48, 64, 3)
+    # IDCT implementations differ by a few LSBs
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 3
+
+    # malformed stream fails cleanly (no exit())
+    bad = np.arange(100, dtype=np.uint8)
+    n = lib.tgs_decode_jpeg(
+        bad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(bad),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size, shape)
+    assert n == -2

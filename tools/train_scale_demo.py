@@ -8,7 +8,7 @@ active) and reports PSNR / depth-MAE / it/s.  Run on the TPU:
 
     python tools/train_scale_demo.py --steps 2000 --capacity 1048576
 
-Writes RESULTS_r02.md (summary + per-phase metrics) and before/after renders
+Writes a RESULTS markdown (default RESULTS.md, --out to override) and renders
 under /tmp/scale_demo/.
 """
 from __future__ import annotations
@@ -82,7 +82,7 @@ def main():
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--seed-points", type=int, default=30_000)
-    ap.add_argument("--out", default="RESULTS_r02.md")
+    ap.add_argument("--out", default=None, help="output md; default RESULTS.md")
     ap.add_argument("--render-dir", default="/tmp/scale_demo")
     args = ap.parse_args()
 
@@ -201,8 +201,8 @@ def main():
     }
     print(json.dumps(summary, indent=2), flush=True)
 
-    md = Path(args.out)
-    md.write_text(f"""# RESULTS r02 — full-scene training at bench scale
+    md = Path(args.out or "RESULTS.md")
+    md.write_text(f"""# RESULTS — full-scene training at bench scale
 
 Synthetic Blender-like scene (textured sphere + checkered plane, 100k GT
 splats), {args.views} views at {W}x{H}, trained from {args.seed_points}

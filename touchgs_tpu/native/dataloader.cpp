@@ -24,6 +24,7 @@
 #include <vector>
 
 #include "png_io.h"
+#include "jpeg_decode.h"
 
 namespace {
 
@@ -156,6 +157,22 @@ int tgs_loader_get(void* l, int idx, float* out, long cap, int* shape3) {
 }
 
 void tgs_loader_destroy(void* l) { delete static_cast<Loader*>(l); }
+
+// one-shot JPEG → RGB8 decode (the MJPEG capture path's codec; exported so
+// the Python tests can exercise it without camera hardware)
+int tgs_decode_jpeg(const uint8_t* data, long len, uint8_t* out, long cap,
+                    int* shape3) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  std::string err;
+  if (!tgs_jpeg::DecodeRgb(data, size_t(len), &rgb, &w, &h, &err)) return -2;
+  if (long(rgb.size()) > cap) return -3;
+  memcpy(out, rgb.data(), rgb.size());
+  shape3[0] = h;
+  shape3[1] = w;
+  shape3[2] = 3;
+  return int(rgb.size());
+}
 
 int tgs_decode_png(const char* path, float* out, long cap, int* shape3) {
   Decoded d = DecodeNormalized(path);

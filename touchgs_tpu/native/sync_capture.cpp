@@ -64,6 +64,7 @@ struct FrameCache {           // latest-sample cache, one per stream
   int width = 0, height = 0;
   double stamp = 0.0;
   bool valid = false;
+  std::atomic<bool> disabled{false};  // stream failed to open: don't gate on it
 };
 
 struct PoseCache {
@@ -104,12 +105,14 @@ void SimCameraThread(FrameCache* cache, int id) {
 }
 
 // --- real V4L2 camera stream ------------------------------------------------
-void V4l2Thread(FrameCache* cache, const std::string& device) {
+void V4l2Thread(FrameCache* cache, const std::string& device, bool mjpeg) {
   tgs_v4l2::V4l2Camera cam;
+  cam.set_prefer_mjpeg(mjpeg);
   std::string err;
   if (!cam.Open(device, 640, 480, &err)) {
     std::fprintf(stderr, "tgs_sync_capture: %s (stream disabled)\n",
                  err.c_str());
+    cache->disabled = true;
     return;
   }
   std::vector<uint8_t> rgb;
@@ -214,6 +217,7 @@ int main(int argc, char** argv) {
   std::vector<std::string> devices;
   std::string pose_socket;
   int sim = 0, auto_capture = 0;
+  bool mjpeg = false;
   double rate_hz = 10.0;  // the reference's 10 Hz Update loop
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -224,6 +228,7 @@ int main(int argc, char** argv) {
     else if (a == "--sim") sim = std::atoi(next().c_str());
     else if (a == "--auto-capture") auto_capture = std::atoi(next().c_str());
     else if (a == "--rate-hz") rate_hz = std::atof(next().c_str());
+    else if (a == "--mjpeg") mjpeg = true;
   }
   if (devices.empty() && sim == 0) {
     std::fprintf(stderr, "no streams: pass --camera or --sim N\n");
@@ -234,7 +239,7 @@ int main(int argc, char** argv) {
   std::vector<std::thread> threads;
   for (const auto& dev : devices) {
     cams.emplace_back(new FrameCache);
-    threads.emplace_back(V4l2Thread, cams.back().get(), dev);
+    threads.emplace_back(V4l2Thread, cams.back().get(), dev, mjpeg);
   }
   for (int i = 0; i < sim; ++i) {
     cams.emplace_back(new FrameCache);
@@ -273,7 +278,21 @@ int main(int argc, char** argv) {
     }
     if (trigger) {
       // synchronized snapshot: sample every cache in one tick (the Save
-      // class's Update-loop semantics) under one shared index
+      // class's Update-loop semantics) under one shared index.  The
+      // reference's Save only starts sampling after every subscribed
+      // stream has delivered its first message — gate the same way, so a
+      // slow-starting stream delays the capture instead of being dropped
+      // from it (capturedata.cpp Save::Update semantics).
+      bool all_valid = true;
+      for (auto& c : cams) {
+        if (c->disabled) continue;  // failed-open streams can't gate capture
+        std::lock_guard<std::mutex> lk(c->mu);
+        if (!c->valid) { all_valid = false; break; }
+      }
+      if (!all_valid) {
+        usleep(tick);
+        continue;  // retry next tick; auto-capture count unaffected
+      }
       bool any = false;
       double maxskew = 0.0, first_stamp = -1.0;
       for (size_t c = 0; c < cams.size(); ++c) {

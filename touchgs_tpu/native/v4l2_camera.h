@@ -18,6 +18,8 @@
 #include <string>
 #include <vector>
 
+#include "jpeg_decode.h"
+
 namespace tgs_v4l2 {
 
 
@@ -70,14 +72,33 @@ class V4l2Camera {
       *err = "device lacks video capture capability";
       return false;
     }
+    // format negotiation: YUYV (or MJPEG when preferred/required — the
+    // common high-rate USB mode; the vendored usb_cam decodes it via
+    // ffmpeg, here via libjpeg).  If the driver rejects the first choice,
+    // fall back to the other before failing.
     v4l2_format fmt{};
     fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
     fmt.fmt.pix.width = width;
     fmt.fmt.pix.height = height;
-    fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_YUYV;
     fmt.fmt.pix.field = V4L2_FIELD_INTERLACED;
-    if (XIoctl(fd_, VIDIOC_S_FMT, &fmt) < 0) {
-      *err = "VIDIOC_S_FMT failed";
+    const uint32_t first = prefer_mjpeg_ ? V4L2_PIX_FMT_MJPEG
+                                         : V4L2_PIX_FMT_YUYV;
+    const uint32_t second = prefer_mjpeg_ ? V4L2_PIX_FMT_YUYV
+                                          : V4L2_PIX_FMT_MJPEG;
+    fmt.fmt.pix.pixelformat = first;
+    if (XIoctl(fd_, VIDIOC_S_FMT, &fmt) < 0 ||
+        (fmt.fmt.pix.pixelformat != first &&
+         fmt.fmt.pix.pixelformat != second)) {
+      fmt.fmt.pix.pixelformat = second;
+      if (XIoctl(fd_, VIDIOC_S_FMT, &fmt) < 0) {
+        *err = "VIDIOC_S_FMT failed";
+        return false;
+      }
+    }
+    pixelformat_ = fmt.fmt.pix.pixelformat;
+    if (pixelformat_ != V4L2_PIX_FMT_YUYV &&
+        pixelformat_ != V4L2_PIX_FMT_MJPEG) {
+      *err = "driver negotiated an unsupported pixel format";
       return false;
     }
     width_ = fmt.fmt.pix.width;
@@ -144,12 +165,27 @@ class V4l2Camera {
       *err = "VIDIOC_DQBUF failed";
       return false;
     }
-    rgb->resize(size_t(width_) * height_ * 3);
-    Yuyv2Rgb(static_cast<const uint8_t*>(buffers_[buf.index].start),
-             rgb->data(), width_, height_);
+    bool ok = true;
+    if (pixelformat_ == V4L2_PIX_FMT_MJPEG) {
+      int w = 0, h = 0;
+      ok = tgs_jpeg::DecodeRgb(
+          static_cast<const uint8_t*>(buffers_[buf.index].start),
+          buf.bytesused, rgb, &w, &h, err);
+      if (ok && (w != width_ || h != height_)) {
+        width_ = w;  // some drivers stream a different JPEG size than S_FMT
+        height_ = h;
+      }
+    } else {
+      rgb->resize(size_t(width_) * height_ * 3);
+      Yuyv2Rgb(static_cast<const uint8_t*>(buffers_[buf.index].start),
+               rgb->data(), width_, height_);
+    }
     XIoctl(fd_, VIDIOC_QBUF, &buf);
-    return true;
+    return ok;
   }
+
+  void set_prefer_mjpeg(bool v) { prefer_mjpeg_ = v; }
+  uint32_t pixelformat() const { return pixelformat_; }
 
   ~V4l2Camera() {
     if (fd_ >= 0) {
@@ -168,6 +204,8 @@ class V4l2Camera {
  private:
   int fd_ = -1;
   int width_ = 0, height_ = 0;
+  bool prefer_mjpeg_ = false;
+  uint32_t pixelformat_ = V4L2_PIX_FMT_YUYV;
   std::vector<Buffer> buffers_;
 };
 

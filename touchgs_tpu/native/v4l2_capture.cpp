@@ -22,16 +22,20 @@ using tgs_v4l2::V4l2Camera;
 int main(int argc, char** argv) {
   std::string device = "/dev/video0", out_dir = "capture";
   int width = 640, height = 480, count = 10;
-  for (int i = 1; i + 1 < argc; i += 2) {
+  bool mjpeg = false;
+  for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    if (a == "--device") device = argv[i + 1];
-    else if (a == "--width") width = atoi(argv[i + 1]);
-    else if (a == "--height") height = atoi(argv[i + 1]);
-    else if (a == "--count") count = atoi(argv[i + 1]);
-    else if (a == "--out") out_dir = argv[i + 1];
+    if (a == "--mjpeg") { mjpeg = true; continue; }
+    if (i + 1 >= argc) break;
+    if (a == "--device") device = argv[++i];
+    else if (a == "--width") width = atoi(argv[++i]);
+    else if (a == "--height") height = atoi(argv[++i]);
+    else if (a == "--count") count = atoi(argv[++i]);
+    else if (a == "--out") out_dir = argv[++i];
   }
 
   V4l2Camera cam;
+  cam.set_prefer_mjpeg(mjpeg);
   std::string err;
   if (!cam.Open(device, width, height, &err)) {
     fprintf(stderr, "tgs_capture: %s\n", err.c_str());

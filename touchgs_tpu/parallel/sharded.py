@@ -5,9 +5,16 @@ One jitted SPMD program per train step:
 1. Gaussian params + Adam moments live sharded over ``model`` (leading axis).
 2. Projection runs shard-local (elementwise over the Gaussian axis).
 3. Projected 2D splats (~12 floats/Gaussian) are all-gathered (sharding
-   constraint → replicated) for binning; XLA turns the gather's transpose into
-   a reduce-scatter of per-Gaussian gradients in the backward pass and
-   overlaps it with the backward compositing sweep.
+   constraint → replicated) for binning; the gather's transpose reduces
+   per-Gaussian gradients across the ``data`` axis.  MEASURED (compiled HLO
+   of this step on an 8-device virtual mesh, see SCALING_r03.md): XLA emits
+   that reduction as an **all-reduce** of the per-Gaussian gradient tensor
+   (e.g. ``all-reduce (f32[C/model, 16], ...)``), NOT the reduce-scatter a
+   hand-scheduled implementation would use — each model shard keeps only its
+   slice afterwards, so ~(model−1)/model of the all-reduce payload is wasted
+   bandwidth.  Whether the collective overlaps the backward sweep is decided
+   by XLA's async-collective pass on real multi-chip hardware and is not
+   observable on this single-chip setup; treat overlap as unverified.
 4. The compositing tile axis is sharded over ``data``.
 5. Loss reduction + param update happen under their natural shardings; the
    optimizer update is shard-local over ``model``.
