@@ -110,21 +110,29 @@ def main():
     W, H = args.width, args.height
     means, quats, scales, colors, opac = build_gt_gaussians()
     G = means.shape[0]
+    # sh_degree=1 with zero rest coeffs (== flat colors): the zero-size
+    # (G, 0, 3) sh_rest of a degree-0 model sends the remote XLA service
+    # into a pathological compile (observed r2+r3: the GT render never
+    # finished compiling); degree-1 zeros are semantically identical
     gt = GaussianParams(
         means=means, quats=quats, log_scales=jnp.log(scales),
         logit_opacities=jnp.log(opac / (1 - opac)),
-        sh_dc=rgb_to_sh_dc(colors), sh_rest=jnp.zeros((G, 0, 3)),
+        sh_dc=rgb_to_sh_dc(colors), sh_rest=jnp.zeros((G, 3, 3)),
         alive=jnp.ones((G,), bool))
-    gt_cfg = ModelConfig(max_gaussians=G, sh_degree=0,
+    gt_cfg = ModelConfig(max_gaussians=G, sh_degree=1,
                          rasterize=RasterizeConfig(use_pallas=on_tpu))
     cams = ring_cameras(args.views, W, H)
 
     print("rendering GT views...", flush=True)
     images, depths = [], []
-    gt_render = jax.jit(lambda c2w_cam: render(
-        gt, c2w_cam, gt_cfg, active_sh_degree=0)[0])
+    # gt must be an ARGUMENT, not a closure: closed-over params become
+    # compile-time constants and XLA constant-folds the whole projection +
+    # binning sort of 100k gaussians on the remote compile service — the
+    # r2/r3 "demo never finishes rendering GT" hang
+    gt_render = jax.jit(lambda g, c2w_cam: render(
+        g, c2w_cam, gt_cfg, active_sh_degree=1)[0])
     for cam in cams:
-        out = gt_render(cam)
+        out = gt_render(gt, cam)
         images.append(np.asarray(out.rgb))
         depths.append(np.asarray(out.depth))
     images = np.stack(images)

@@ -209,7 +209,7 @@ def cmd_seed(args):
 
 def _build_cfg(args):
     from touchgs_tpu.config import (SCENE_PRESETS, DepthLossConfig,
-                                    DepthLossType, TrainConfig,
+                                    DepthLossType, PoseOptConfig, TrainConfig,
                                     train_config_for_preset)
 
     if args.preset:
@@ -237,6 +237,9 @@ def _build_cfg(args):
         depth_over["uncertainty_weight"] = args.uncertainty_weight
     if depth_over:
         overrides["depth"] = dataclasses.replace(cfg.depth, **depth_over)
+    if getattr(args, "camera_optimizer", None):
+        # legacy/config_tactile.py:36-37 camera_optimizer mode="SO3xR3"
+        overrides["pose_opt"] = PoseOptConfig(mode=args.camera_optimizer)
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg, split
@@ -489,6 +492,10 @@ def _add_train_flags(p):
                    choices=["SIMPLE_LOSS", "DEPTH_UNCERTAINTY_WEIGHTED_LOSS"])
     p.add_argument("--uncertainty-weight", type=float, default=None)
     p.add_argument("--is-sim", action="store_true")
+    p.add_argument("--camera-optimizer", default=None,
+                   choices=["off", "SO3xR3"],
+                   help="per-camera SO3xR3 pose optimization "
+                        "(legacy/config_tactile.py:36-37)")
     p.add_argument("--load-run", default=None)
     p.add_argument("--output-path", default=None)
     p.add_argument("--render-dir", default=None)
