@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--seed-points", type=int, default=30_000)
     ap.add_argument("--out", default=None, help="output md; default RESULTS.md")
     ap.add_argument("--render-dir", default="/tmp/scale_demo")
+    ap.add_argument("--densify-grad", type=float, default=0.0002,
+                    help="positional-gradient densify threshold")
     args = ap.parse_args()
 
     import jax
@@ -167,6 +169,7 @@ def main():
         depth=DepthLossConfig(0.1, DepthLossType.SIMPLE_LOSS, 0.0),
         densify=DensifyConfig(warmup_steps=300, refine_every=100,
                               stop_refine_at=max(args.steps - 300, 400),
+                              grad_threshold=args.densify_grad,
                               reset_opacity_every=10 ** 9),
         optim=OptimConfig(means_lr_max_steps=args.steps),
         sh_degree_interval=max(args.steps // 3, 1),

@@ -123,6 +123,9 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 2000        # steps_per_save (legacy/config_tactile.py:27)
     log_every: int = 100
+    # per-view batches kept device-resident (avoids re-uploading images every
+    # step — dominant cost on remote-attached TPUs); cap bounds HBM use
+    view_cache_bytes: int = 6 * 1024 ** 3
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     depth: DepthLossConfig = dataclasses.field(default_factory=DepthLossConfig)
     densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)

@@ -182,8 +182,17 @@ class Trainer:
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[dict] = []
+        self._batch_cache: dict = {}
+        self._batch_cache_bytes = 0
 
     def _batch(self, view_idx: int):
+        # Batches are cached as device-resident arrays: without this every
+        # step re-uploads ~13 MB (image + depth + uncertainty) host→device,
+        # which dominates the step on remote-attached TPUs.  The cache is
+        # capped so huge scenes degrade to streaming instead of OOMing HBM.
+        hit = self._batch_cache.get(view_idx)
+        if hit is not None:
+            return hit
         s = self.scene
         cam = s.cameras.at(view_idx)
         image = jnp.asarray(s.images[view_idx])
@@ -193,7 +202,13 @@ class Trainer:
             if s.uncertainties is not None
             else None
         )
-        return cam, image, depth, unc
+        batch = (cam, image, depth, unc)
+        nbytes = sum(int(np.prod(a.shape)) * 4 for a in (image, depth, unc)
+                     if a is not None)
+        if self._batch_cache_bytes + nbytes <= self.cfg.view_cache_bytes:
+            self._batch_cache[view_idx] = batch
+            self._batch_cache_bytes += nbytes
+        return batch
 
     def active_sh_degree(self, step: int) -> int:
         return min(step // self.cfg.sh_degree_interval, self.cfg.model.sh_degree)
