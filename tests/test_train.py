@@ -154,3 +154,28 @@ def test_resume_continues_from_step(tiny_scene):
     tr2.run(max_steps=60)
     assert int(tr2.state.step) == 60  # ran exactly the 20-step remainder
     assert all(h["step"] >= 40 for h in tr2.history)
+
+
+def test_capacity_growth(tiny_scene):
+    """Progressive capacity: arrays start at a small pow2 and double when
+    densify fills them; padded slots are dead and the Adam moments stay
+    slot-aligned, so training continues seamlessly after a growth."""
+    from touchgs_tpu.train.trainer import grow_state
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(), init_capacity=512, grow_trigger_fraction=0.25,
+        model=ModelConfig(max_gaussians=1024, sh_degree=1,
+                          rasterize=RasterizeConfig(gaussian_chunk=128)),
+    )
+    tr = Trainer(tiny_scene, cfg)
+    assert tr.state.params.capacity == 512          # not max up front
+    alive0 = float(tr.state.params.num_alive)
+    last = tr.run()                                 # 300 alive > 0.25*512
+    assert tr.state.params.capacity == 1024         # auto-grew at refine
+    assert np.isfinite(last["loss"])
+    assert last["num_alive"] >= alive0              # nothing lost in growth
+    # manual grow_state: alive count and optimizer alignment preserved
+    st = grow_state(tr.state, 2048)
+    assert st.params.capacity == 2048
+    assert float(st.params.num_alive) == float(tr.state.params.num_alive)
+    assert not bool(st.params.alive[1024:].any())

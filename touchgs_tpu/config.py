@@ -126,6 +126,13 @@ class TrainConfig:
     # per-view batches kept device-resident (avoids re-uploading images every
     # step — dominant cost on remote-attached TPUs); cap bounds HBM use
     view_cache_bytes: int = 6 * 1024 ** 3
+    # progressive capacity: start the gaussian arrays at a power of two
+    # sized to the seeds and double (one recompile each time) when densify
+    # fills them, instead of paying O(max_gaussians) projection/sort/optim
+    # work from step 0.  False = allocate max_gaussians up front.
+    grow_capacity: bool = True
+    grow_trigger_fraction: float = 0.6   # grow when alive > frac * capacity
+    init_capacity: int = 0               # 0 = auto (pow2 sized to seeds)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     depth: DepthLossConfig = dataclasses.field(default_factory=DepthLossConfig)
     densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)

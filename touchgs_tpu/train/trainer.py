@@ -135,6 +135,40 @@ def make_reset_opacity_step(cfg: TrainConfig):
     return jax.jit(reset_fn, donate_argnums=(0,))
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
+def grow_state(state: TrainState, new_capacity: int) -> TrainState:
+    """Re-pad every per-gaussian leaf of the train state to ``new_capacity``.
+
+    Leaves whose leading dimension equals the current capacity (params,
+    densify stats, Adam moments — the same heuristic as
+    ``reset_opt_slots``) are zero-padded; padded slots are dead
+    (``alive`` pads to False) so semantics are unchanged.  The jitted
+    steps recompile once per growth, which happens O(log capacity) times
+    per run.
+    """
+    old = state.params.capacity
+    if new_capacity <= old:
+        return state
+
+    def pad(leaf):
+        if (hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1
+                and leaf.shape[0] == old):
+            width = [(0, new_capacity - old)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, width)
+        return leaf
+
+    return TrainState(
+        params=jax.tree.map(pad, state.params),
+        opt_state=jax.tree.map(pad, state.opt_state),
+        densify=jax.tree.map(pad, state.densify),
+        step=state.step,
+        pose_deltas=state.pose_deltas,
+    )
+
+
 class Trainer:
     """Host-side training driver for one scene."""
 
@@ -147,10 +181,17 @@ class Trainer:
             extra_lrs={"pose_deltas": cfg.pose_opt.lr} if pose_on else None,
         )
 
+        n_seed = (len(scene.seed_points)
+                  if scene.seed_points is not None else 50_000)
+        init_cap = cfg.model.max_gaussians
+        if cfg.grow_capacity:
+            init_cap = min(init_cap,
+                           cfg.init_capacity
+                           or max(_next_pow2(2 * n_seed), 4096))
         if scene.seed_points is not None and len(scene.seed_points) > 0:
             params = init_from_points(
                 scene.seed_points, scene.seed_colors,
-                capacity=cfg.model.max_gaussians,
+                capacity=init_cap,
                 sh_degree=cfg.model.sh_degree,
                 init_opacity=cfg.model.init_opacity,
                 seed=cfg.seed,
@@ -158,7 +199,7 @@ class Trainer:
         else:
             params = init_random(
                 n=min(50_000, cfg.model.max_gaussians // 2),
-                capacity=cfg.model.max_gaussians,
+                capacity=init_cap,
                 sh_degree=cfg.model.sh_degree,
                 init_opacity=cfg.model.init_opacity,
                 seed=cfg.seed,
@@ -247,6 +288,12 @@ class Trainer:
                 and step % dcfg.refine_every == 0
                 and step > 0
             ):
+                cap = self.state.params.capacity
+                if (cfg.grow_capacity and cap < cfg.model.max_gaussians
+                        and float(self.state.params.num_alive)
+                        > cfg.grow_trigger_fraction * cap):
+                    self.state = grow_state(
+                        self.state, min(cap * 2, cfg.model.max_gaussians))
                 self.key, sub = jax.random.split(self.key)
                 self.state = self.refine_step(self.state, sub)
             if step > 0 and step % dcfg.reset_opacity_every == 0 and step < dcfg.stop_refine_at:
