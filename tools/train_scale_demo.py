@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--render-dir", default="/tmp/scale_demo")
     ap.add_argument("--densify-grad", type=float, default=0.0002,
                     help="positional-gradient densify threshold")
+    ap.add_argument("--polish", type=int, default=300,
+                    help="steps after densify stops")
+    ap.add_argument("--sh-interval", type=int, default=0,
+                    help="SH degree growth interval (0 = steps//3)")
+    ap.add_argument("--reset-opacity-every", type=int, default=10 ** 9)
     args = ap.parse_args()
 
     import jax
@@ -168,11 +173,12 @@ def main():
                           rasterize=RasterizeConfig(use_pallas=on_tpu)),
         depth=DepthLossConfig(0.1, DepthLossType.SIMPLE_LOSS, 0.0),
         densify=DensifyConfig(warmup_steps=300, refine_every=100,
-                              stop_refine_at=max(args.steps - 300, 400),
+                              stop_refine_at=max(args.steps - args.polish,
+                                                 400),
                               grad_threshold=args.densify_grad,
-                              reset_opacity_every=10 ** 9),
+                              reset_opacity_every=args.reset_opacity_every),
         optim=OptimConfig(means_lr_max_steps=args.steps),
-        sh_degree_interval=max(args.steps // 3, 1),
+        sh_degree_interval=args.sh_interval or max(args.steps // 3, 1),
         log_every=200,
     )
     trainer = Trainer(scene, cfg)
