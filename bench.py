@@ -7,13 +7,29 @@ chip).  Prints ONE JSON line:
 The reference repo publishes no numbers (BASELINE.md); the comparison anchor
 is the north-star proxy: splatfacto on A100 trains a Touch-GS-scale scene at
 roughly 20 iters/sec (30k iters in ~25 min).  ``vs_baseline`` is measured
-iters/sec over that 20 it/s proxy; the ≥3x target from BASELINE.json means
-vs_baseline ≥ 3.0.
+iters/sec over that 20 it/s proxy; the >=3x target from BASELINE.json means
+vs_baseline >= 3.0.
+
+Robustness contract (VERDICT r3 #1 — two of three rounds lost their perf
+evidence to compile stalls): the headline JSON is ALWAYS printed, exactly
+once, before this process ends.
+  * a watchdog thread emits the best-known number and hard-exits rc=0 when
+    the wall-clock budget (BENCH_BUDGET_S, default 420 s) is nearly spent —
+    a remote-tunnel compile observed to take 15+ min (utils/cache.py) can
+    no longer turn into rc=124 with no output;
+  * the timed loop runs in chunks, updating the shared headline after each,
+    so even a partially-timed run lands a real rate;
+  * the roofline extras run strictly AFTER the headline is printed and only
+    if budget remains — they are diagnostics, not gatekeepers.
+Run tools/prewarm_bench.py after any compute-path change so the driver's
+fresh process hits the persistent compile cache.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -26,10 +42,61 @@ N_GAUSSIANS = 100_000
 CAPACITY = 131_072
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
+CHUNK = 5
+
+START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+_lock = threading.Lock()
+_headline = {
+    "metric": "train_iters_per_sec_800x800_100k_gaussians",
+    "value": 0.0,
+    "unit": "iters/sec",
+    "vs_baseline": 0.0,
+}
+_note: str | None = "compile_did_not_finish"
+_printed = threading.Event()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - START)
+
+
+def set_headline(iters_per_sec: float, note: str | None) -> None:
+    global _note
+    with _lock:
+        _headline["value"] = round(iters_per_sec, 3)
+        _headline["vs_baseline"] = round(
+            iters_per_sec / REFERENCE_ITERS_PER_SEC, 3)
+        _note = note
+
+
+def emit() -> None:
+    """Print the headline JSON exactly once (thread-safe)."""
+    with _lock:
+        if _printed.is_set():
+            return
+        _printed.set()
+        h = dict(_headline)
+        if _note:
+            h["note"] = _note
+        print(json.dumps(h), flush=True)
+
+
+def _watchdog() -> None:
+    wait = remaining() - 20.0
+    if wait > 0:
+        time.sleep(wait)
+    if not _printed.is_set():
+        log(f"bench watchdog: budget {BUDGET_S:.0f}s nearly spent — emitting "
+            "best-known headline and exiting")
+        emit()
+        sys.stdout.flush()
+        os._exit(0)
 
 
 def pallas_compile_smoke():
@@ -51,14 +118,9 @@ def pallas_compile_smoke():
     log("pallas compile smoke OK")
 
 
-def main():
+def build_state_and_step():
     import jax
     import jax.numpy as jnp
-
-    from touchgs_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    pallas_compile_smoke()
 
     from touchgs_tpu.config import (
         DensifyConfig, DepthLossConfig, ModelConfig, OptimConfig,
@@ -106,137 +168,172 @@ def main():
     unc = jnp.ones((HEIGHT, WIDTH), jnp.float32)
 
     step = make_train_step(cfg, optimizer)
+    return cfg, state, step, cam, image, depth, unc
+
+
+def roofline_report(cfg, state, cam, dt_per_step):
+    """Per-stage roofline diagnostics (BASELINE.md 'per-kernel roofline per
+    chip').  Best-effort: runs after the headline JSON, budget permitting."""
+    import jax
+    import jax.numpy as jnp
+
+    from touchgs_tpu.models.splatfacto import render as render_fn
+    from touchgs_tpu.ops import rasterize_pallas as rp
+    from touchgs_tpu.ops.projection import project_gaussians
+    from touchgs_tpu.ops.tiles import bin_gaussians
+    from touchgs_tpu.utils import profiling as prof
+
+    rcfg = cfg.model.rasterize
+    p0 = state.params
+    opac = p0.opacities()
+    colors = jnp.abs(p0.sh_dc)
+
+    @jax.jit
+    def prep(p):
+        proj = project_gaussians(
+            p.means, p.quats, p.scales(), cam.w2c, cam.fx, cam.fy,
+            cam.cx, cam.cy, WIDTH, HEIGHT, rcfg, extra_valid=p.alive,
+            opacities=p.opacities())
+        return proj, bin_gaussians(proj, WIDTH, HEIGHT, rcfg)
+
+    proj, bins = prep(p0)
+    bins = bins._replace(n_tiles_x=int(bins.n_tiles_x),
+                         n_tiles_y=int(bins.n_tiles_y))
+    n_tiles = bins.n_tiles_x * bins.n_tiles_y
+    th, tw = rcfg.tile_h, rcfg.tile_w
+    k_tile = rcfg.k_tile
+    counts = np.asarray(bins.tile_counts, dtype=np.int64)
+    total_pairs = int(counts.sum())
+    kept_pairs = int(np.minimum(counts, k_tile).sum())
+
+    attrs = rp._pack_attrs(proj, colors, opac)
+    gidx = rp._slot_lists(
+        bins.sorted_gauss, bins.tile_starts,
+        jnp.minimum(bins.tile_counts, k_tile), n_tiles, k_tile,
+        proj.means2d.shape[0], False)
+    attrs_tiled = attrs[gidx]
+    nc = ((jnp.minimum(bins.tile_counts, k_tile) + 127) // 128
+          ).astype(jnp.int32)
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+
+    @jax.jit
+    def fwd_kernel(at):
+        return rp._forward_tiles(nc, tids, at, th, tw, k_tile, 128,
+                                 bins.n_tiles_x, rcfg, False)
+
+    fwd_stack = fwd_kernel(attrs_tiled)
+    done = np.asarray(fwd_stack[:, rp._ROW_DONE, 0], dtype=np.int64)
+    scanned = int(done.sum()) * 128
+    # lossy truncation: tiles whose list was capped AND whose composite
+    # was still unsaturated when the scan ended (max T over tile > 1e-3)
+    t_final = np.asarray(fwd_stack[:, rp._ROW_T].max(axis=-1))
+    lossy = int(((counts > k_tile) & (t_final > 1e-3)).sum())
+    grad_stack = jnp.ones_like(fwd_stack)
+
+    @jax.jit
+    def bwd_kernel(at, fs, gs):
+        d = fs[:, rp._ROW_DONE, 0].astype(jnp.int32)
+        return rp._backward_tiles(d, tids, at, fs, gs, th, tw, k_tile,
+                                  128, bins.n_tiles_x, rcfg, False)
+
+    @jax.jit
+    def fwd_only(p):
+        out, _ = render_fn(p, cam, cfg.model, active_sh_degree=3)
+        return out.rgb
+
+    @jax.jit
+    def fwd_bwd(p):
+        def loss(means):
+            import dataclasses as _dc
+            out, _ = render_fn(_dc.replace(p, means=means), cam,
+                               cfg.model, active_sh_degree=3)
+            return jnp.sum(out.rgb) + jnp.sum(out.depth)
+        return jax.grad(loss)(p.means)
+
+    npix = th * tw
+    t_fwdk = prof.measure(fwd_kernel, attrs_tiled, iters=10)
+    t_bwdk = prof.measure(bwd_kernel, attrs_tiled, fwd_stack, grad_stack,
+                          iters=10)
+    t_fwd = prof.measure(fwd_only, state.params, iters=10)
+    t_bwd = prof.measure(fwd_bwd, state.params, iters=10)
+    stages = [
+        prof.composite_cost(scanned, npix, n_tiles, "composite_fwd", 34),
+        prof.composite_cost(scanned, npix, n_tiles, "composite_bwd", 76),
+        prof.binning_cost(CAPACITY, rcfg.max_tiles_per_gaussian),
+    ]
+    log(prof.report(stages, {"composite_fwd": t_fwdk,
+                             "composite_bwd": t_bwdk}))
+    log(f"tile lists: {total_pairs} pairs, mean {counts.mean():.0f}/tile"
+        f", cap {k_tile} keeps {kept_pairs} "
+        f"({100 * kept_pairs / max(total_pairs, 1):.1f}%); "
+        f"kernels scanned {scanned} "
+        f"({100 * scanned / max(total_pairs, 1):.1f}% — early exit); "
+        f"lossy-truncated tiles (capped & unsaturated): {lossy}/{n_tiles}")
+    log(f"render fwd: {t_fwd*1e3:.2f} ms (kernel {t_fwdk*1e3:.2f})   "
+        f"render fwd+bwd: {t_bwd*1e3:.2f} ms (bwd kernel "
+        f"{t_bwdk*1e3:.2f})   full step: {dt_per_step*1e3:.2f} ms "
+        f"(loss/opt tail: {(dt_per_step - t_bwd)*1e3:.2f} ms)")
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+    import jax.numpy as jnp
+
+    from touchgs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    pallas_compile_smoke()
+
+    cfg, state, step, cam, image, depth, unc = build_state_and_step()
     sh = jnp.int32(3)
 
     t0 = time.time()
-    for _ in range(WARMUP_STEPS):
-        state, metrics = step(state, cam, image, depth, unc, sh)
+    state, metrics = step(state, cam, image, depth, unc, sh)
     jax.block_until_ready(metrics)
-    log(f"warmup ({WARMUP_STEPS} steps incl. compile): {time.time()-t0:.1f}s "
+    log(f"first step (compile): {time.time()-t0:.1f}s "
         f"loss={float(metrics['loss']):.4f}")
+    set_headline(0.0, "compiled_but_untimed")
 
-    t0 = time.time()
-    for _ in range(TIMED_STEPS):
+    for _ in range(WARMUP_STEPS - 1):
         state, metrics = step(state, cam, image, depth, unc, sh)
     jax.block_until_ready(metrics)
+
+    # timed loop in chunks: every chunk refreshes the shared headline so the
+    # watchdog always has the freshest rate to emit
+    done_steps = 0
+    t0 = time.time()
+    while done_steps < TIMED_STEPS:
+        n = min(CHUNK, TIMED_STEPS - done_steps)
+        for _ in range(n):
+            state, metrics = step(state, cam, image, depth, unc, sh)
+        jax.block_until_ready(metrics)
+        done_steps += n
+        rate = done_steps / (time.time() - t0)
+        set_headline(rate, None if done_steps >= TIMED_STEPS
+                     else f"partial_{done_steps}_steps")
     dt = time.time() - t0
     iters_per_sec = TIMED_STEPS / dt
     mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
-    log(f"{TIMED_STEPS} steps in {dt:.2f}s → {iters_per_sec:.2f} it/s, "
+    log(f"{TIMED_STEPS} steps in {dt:.2f}s -> {iters_per_sec:.2f} it/s, "
         f"{mpix_per_sec:.1f} Mpix/s rasterized (fwd+bwd), "
         f"loss={float(metrics['loss']):.4f}")
 
-    # per-stage roofline with fwd AND bwd kernel rows priced on the work the
-    # kernels ACTUALLY scanned (chunks_done read back from the forward), plus
-    # tile-truncation telemetry (BASELINE.md "per-kernel roofline per chip");
-    # guarded so a slow tunnel compile can't sink the headline number
-    try:
-        from touchgs_tpu.models.splatfacto import render as render_fn
-        from touchgs_tpu.ops import rasterize_pallas as rp
-        from touchgs_tpu.ops.projection import project_gaussians
-        from touchgs_tpu.ops.tiles import bin_gaussians
-        from touchgs_tpu.utils import profiling as prof
+    emit()  # headline is on stdout before any diagnostics run
 
-        rcfg = cfg.model.rasterize
-        p0 = state.params
-        opac = p0.opacities()
-        colors = jnp.abs(p0.sh_dc)
-
-        @jax.jit
-        def prep(p):
-            proj = project_gaussians(
-                p.means, p.quats, p.scales(), cam.w2c, cam.fx, cam.fy,
-                cam.cx, cam.cy, WIDTH, HEIGHT, rcfg, extra_valid=p.alive,
-                opacities=p.opacities())
-            return proj, bin_gaussians(proj, WIDTH, HEIGHT, rcfg)
-
-        proj, bins = prep(p0)
-        bins = bins._replace(n_tiles_x=int(bins.n_tiles_x),
-                             n_tiles_y=int(bins.n_tiles_y))
-        n_tiles = bins.n_tiles_x * bins.n_tiles_y
-        th, tw = rcfg.tile_h, rcfg.tile_w
-        k_tile = rcfg.k_tile
-        counts = np.asarray(bins.tile_counts, dtype=np.int64)
-        total_pairs = int(counts.sum())
-        kept_pairs = int(np.minimum(counts, k_tile).sum())
-
-        attrs = rp._pack_attrs(proj, colors, opac)
-        gidx = rp._slot_lists(
-            bins.sorted_gauss, bins.tile_starts,
-            jnp.minimum(bins.tile_counts, k_tile), n_tiles, k_tile,
-            proj.means2d.shape[0], False)
-        attrs_tiled = attrs[gidx]
-        nc = ((jnp.minimum(bins.tile_counts, k_tile) + 127) // 128
-              ).astype(jnp.int32)
-        tids = jnp.arange(n_tiles, dtype=jnp.int32)
-
-        @jax.jit
-        def fwd_kernel(at):
-            return rp._forward_tiles(nc, tids, at, th, tw, k_tile, 128,
-                                     bins.n_tiles_x, rcfg, False)
-
-        fwd_stack = fwd_kernel(attrs_tiled)
-        done = np.asarray(fwd_stack[:, rp._ROW_DONE, 0], dtype=np.int64)
-        scanned = int(done.sum()) * 128
-        # lossy truncation: tiles whose list was capped AND whose composite
-        # was still unsaturated when the scan ended (max T over tile > 1e-3)
-        t_final = np.asarray(fwd_stack[:, rp._ROW_T].max(axis=-1))
-        lossy = int(((counts > k_tile) & (t_final > 1e-3)).sum())
-        grad_stack = jnp.ones_like(fwd_stack)
-
-        @jax.jit
-        def bwd_kernel(at, fs, gs):
-            d = fs[:, rp._ROW_DONE, 0].astype(jnp.int32)
-            return rp._backward_tiles(d, tids, at, fs, gs, th, tw, k_tile,
-                                      128, bins.n_tiles_x, rcfg, False)
-
-        @jax.jit
-        def fwd_only(p):
-            out, _ = render_fn(p, cam, cfg.model, active_sh_degree=3)
-            return out.rgb
-
-        @jax.jit
-        def fwd_bwd(p):
-            def loss(means):
-                import dataclasses as _dc
-                out, _ = render_fn(_dc.replace(p, means=means), cam,
-                                   cfg.model, active_sh_degree=3)
-                return jnp.sum(out.rgb) + jnp.sum(out.depth)
-            return jax.grad(loss)(p.means)
-
-        npix = th * tw
-        t_fwdk = prof.measure(fwd_kernel, attrs_tiled, iters=10)
-        t_bwdk = prof.measure(bwd_kernel, attrs_tiled, fwd_stack, grad_stack,
-                              iters=10)
-        t_fwd = prof.measure(fwd_only, state.params, iters=10)
-        t_bwd = prof.measure(fwd_bwd, state.params, iters=10)
-        stages = [
-            prof.composite_cost(scanned, npix, n_tiles, "composite_fwd", 34),
-            prof.composite_cost(scanned, npix, n_tiles, "composite_bwd", 76),
-            prof.binning_cost(CAPACITY, rcfg.max_tiles_per_gaussian),
-        ]
-        log(prof.report(stages, {"composite_fwd": t_fwdk,
-                                 "composite_bwd": t_bwdk}))
-        log(f"tile lists: {total_pairs} pairs, mean {counts.mean():.0f}/tile"
-            f", cap {k_tile} keeps {kept_pairs} "
-            f"({100 * kept_pairs / max(total_pairs, 1):.1f}%); "
-            f"kernels scanned {scanned} "
-            f"({100 * scanned / max(total_pairs, 1):.1f}% — early exit); "
-            f"lossy-truncated tiles (capped & unsaturated): {lossy}/{n_tiles}")
-        log(f"render fwd: {t_fwd*1e3:.2f} ms (kernel {t_fwdk*1e3:.2f})   "
-            f"render fwd+bwd: {t_bwd*1e3:.2f} ms (bwd kernel "
-            f"{t_bwdk*1e3:.2f})   full step: {dt/TIMED_STEPS*1e3:.2f} ms "
-            f"(loss/opt tail: {(dt/TIMED_STEPS - t_bwd)*1e3:.2f} ms)")
-    except Exception as e:  # pragma: no cover - diagnostics only
-        log(f"roofline report skipped: {e}")
-
-    print(json.dumps({
-        "metric": "train_iters_per_sec_800x800_100k_gaussians",
-        "value": round(iters_per_sec, 3),
-        "unit": "iters/sec",
-        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 3),
-    }))
+    if remaining() > 60:
+        try:
+            roofline_report(cfg, state, cam, dt / TIMED_STEPS)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"roofline report skipped: {e}")
+    else:
+        log(f"roofline skipped: only {remaining():.0f}s of budget left")
 
 
 if __name__ == "__main__":
     main()
+    # the watchdog thread is daemonic; make the exit explicit and immediate
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

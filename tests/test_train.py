@@ -98,8 +98,12 @@ def _tiny_cfg(**depth_kwargs):
             rasterize=RasterizeConfig(gaussian_chunk=128),
         ),
         depth=DepthLossConfig(**depth_kwargs) if depth_kwargs else DepthLossConfig(),
+        # 3DGS-era prune/reset values: at 200 tiny-lr steps the opacities of
+        # correct gaussians haven't risen past splatfacto's 0.1 cull yet
         densify=DensifyConfig(warmup_steps=40, refine_every=40, stop_refine_at=100,
-                              reset_opacity_every=10_000),
+                              reset_opacity_every=10_000,
+                              prune_opacity_threshold=0.005,
+                              reset_opacity_value=0.01),
         optim=OptimConfig(means_lr_max_steps=200),
         sh_degree_interval=50,
         log_every=20,
@@ -179,3 +183,36 @@ def test_capacity_growth(tiny_scene):
     assert st.params.capacity == 2048
     assert float(st.params.num_alive) == float(tr.state.params.num_alive)
     assert not bool(st.params.alive[1024:].any())
+
+
+def test_restore_after_capacity_growth(tiny_scene, tmp_path):
+    """r3 advisor (high): a checkpoint saved AFTER a progressive-capacity
+    growth has larger leaves than a fresh Trainer's template; restore must
+    grow the template to the saved capacity first (via the sidecar capacity
+    index) instead of failing on shape mismatch."""
+    from touchgs_tpu.train.checkpoint import CheckpointManager, restore_trainer
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(), init_capacity=512, grow_trigger_fraction=0.25,
+        model=ModelConfig(max_gaussians=1024, sh_degree=1,
+                          rasterize=RasterizeConfig(gaussian_chunk=128)),
+    )
+    tr = Trainer(tiny_scene, cfg)
+    mgr = CheckpointManager(tmp_path / "run", cfg)
+    tr.run(ckpt_manager=mgr)                        # grows 512 → 1024 mid-run
+    assert tr.state.params.capacity == 1024
+    saved_alive = float(tr.state.params.num_alive)
+    step = mgr.latest_step()
+    assert mgr.saved_capacity(step) == 1024
+    mgr.close()
+
+    tr2 = Trainer(tiny_scene, cfg)                  # fresh: capacity 512
+    assert tr2.state.params.capacity == 512
+    mgr2 = CheckpointManager(tmp_path / "run")
+    restore_trainer(tr2, mgr2)                      # grows template, restores
+    mgr2.close()
+    assert tr2.state.params.capacity == 1024
+    assert int(tr2.state.step) == step
+    assert float(tr2.state.params.num_alive) == saved_alive
+    out = tr2.render_view(0)
+    assert not np.any(np.isnan(np.asarray(out.rgb)))

@@ -260,8 +260,9 @@ def cmd_train(args):
           f"seeds={'none' if scene.seed_points is None else len(scene.seed_points)}")
     trainer = Trainer(scene, cfg)
     if args.load_run:  # resume (ns-train --load-dir equivalent)
+        from touchgs_tpu.train.checkpoint import restore_trainer
         prev = CheckpointManager(Path(args.load_run))
-        trainer.state = prev.restore(trainer.state)
+        restore_trainer(trainer, prev)
         prev.close()
         print(f"resumed from {args.load_run} at step {int(trainer.state.step)}")
     run_dir = make_run_dir(args.output_dir, scene.name)
@@ -295,7 +296,8 @@ def _load_trained(args):
         sys.exit("no run dir found; train first or pass --load-run")
     trainer = Trainer(scene, cfg)
     mgr = CheckpointManager(run_dir)
-    trainer.state = mgr.restore(trainer.state)
+    from touchgs_tpu.train.checkpoint import restore_trainer
+    restore_trainer(trainer, mgr)
     mgr.close()
     return trainer, scene, cfg, run_dir
 

@@ -76,19 +76,30 @@ class DepthLossConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DensifyConfig:
-    """splatfacto-style adaptive density control (SURVEY.md §2.9)."""
+    """splatfacto-style adaptive density control (SURVEY.md §2.9).
+
+    Defaults follow nerfstudio splatfacto (the reference fork's base class),
+    not vanilla 3DGS: cull_alpha_thresh 0.1 with opacity reset to 2x that,
+    screen-size split/cull gates active until ``stop_screen_size_at``, and
+    world/screen size culling enabled only after the first opacity-reset
+    period (fresh gaussians must not be size-culled before they shrink).
+    """
 
     warmup_steps: int = 500
     refine_every: int = 100
     stop_refine_at: int = 15_000
     grad_threshold: float = 0.0002       # positional-gradient densify threshold
     densify_size_threshold: float = 0.01 # split if scale above, clone if below
-    prune_opacity_threshold: float = 0.005
+    prune_opacity_threshold: float = 0.1 # splatfacto cull_alpha_thresh
     prune_scale_threshold: float = 0.5   # world-size prune (scene units)
     reset_opacity_every: int = 3000
-    reset_opacity_value: float = 0.01
+    reset_opacity_value: float = 0.2     # splatfacto: cull_alpha_thresh * 2
     split_samples: int = 2
     split_scale_shrink: float = 1.6
+    # screen-space size gates (fractions of max(W, H), splatfacto units)
+    split_screen_size: float = 0.05      # force-split when bigger on screen
+    cull_screen_size: float = 0.15       # cull when bigger on screen
+    stop_screen_size_at: int = 4000      # screen-size gates off after this step
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,16 +51,21 @@ def update_stats(
     ``0.5 * max(W, H)`` (pixel → NDC-like units) before comparing the running
     average to ``grad_threshold = 0.0002`` — without this, the same threshold
     means something ~400x different at 800² and densification never fires.
-    ``width/height = 0`` keeps raw pixel units (legacy callers/tests).
+    Screen radii are likewise normalized to fractions of ``max(W, H)``
+    (splatfacto ``max_2Dsize``), the units of the ``split_screen_size`` /
+    ``cull_screen_size`` gates.  ``width/height = 0`` keeps raw pixel units
+    (legacy callers/tests).
     """
     g = jnp.linalg.norm(means2d_grad, axis=-1)
+    r = radii
     if width or height:
         g = g * (0.5 * max(width, height))
+        r = r / float(max(width, height))
     vis = visible.astype(jnp.float32)
     return DensifyState(
         grad_accum=state.grad_accum + g * vis,
         grad_count=state.grad_count + vis,
-        max_radii=jnp.maximum(state.max_radii, radii),
+        max_radii=jnp.maximum(state.max_radii, r * vis),
     )
 
 
@@ -95,19 +100,41 @@ def refine(
     state: DensifyState,
     key: jax.Array,
     cfg: DensifyConfig,
+    do_densify: bool = True,
+    use_size_cull: bool = True,
+    use_screen_size: bool = False,
 ) -> tuple[GaussianParams, DensifyState, jax.Array]:
     """One densify+prune pass.  Returns (params, reset stats, touched_mask).
 
     ``touched_mask`` marks slots whose parameters were (re)written — the
     trainer zeroes optimizer moments there (splatfacto resets Adam state for
     new gaussians).
+
+    The three static flags reproduce splatfacto's step-dependent schedule
+    (the trainer derives them from the step; standalone callers get the
+    legacy always-on behavior):
+      * ``do_densify`` — False right after an opacity reset, when grad stats
+        are garbage: cull only, no clone/split.
+      * ``use_size_cull`` — world/screen size culling starts only after the
+        first opacity-reset period (fresh gaussians must not be size-culled
+        before their scales settle).
+      * ``use_screen_size`` — screen-size split/cull gates, active while
+        ``step < stop_screen_size_at``; requires ``state.max_radii`` in
+        normalized units (update_stats with width/height).
     """
     C = params.capacity
     avg_grad = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
     scale_max = jnp.max(params.scales(), axis=-1)
 
     dense_candidate = (avg_grad > cfg.grad_threshold) & params.alive
-    do_split = dense_candidate & (scale_max > cfg.densify_size_threshold)
+    if not do_densify:
+        dense_candidate = jnp.zeros_like(dense_candidate)
+    split_by_size = scale_max > cfg.densify_size_threshold
+    if use_screen_size:
+        # splatfacto: oversized-on-screen gaussians split even when their
+        # world scale is small (floaters near the camera)
+        split_by_size = split_by_size | (state.max_radii > cfg.split_screen_size)
+    do_split = dense_candidate & split_by_size
     do_clone = dense_candidate & ~do_split
 
     # children per source: clone→1 (copy at same spot), split→split_samples
@@ -158,11 +185,21 @@ def refine(
     alive = new_params.alive & ~died_split
     new_params = dataclasses.replace(new_params, alive=alive)
 
-    # prune: low opacity or oversized world scale
-    prune = (new_params.opacities() < cfg.prune_opacity_threshold) | (
-        scale_max > cfg.prune_scale_threshold
-    )
-    # note: scale_max is pre-refine but dead slots are masked anyway
+    # prune: low opacity, and (after the first reset period) oversized
+    # gaussians in world or screen units.  Sizes are recomputed POST-scatter
+    # so freshly written children are judged by their own scales, not by
+    # whatever garbage the dead slot held before (r3 advisor finding: fresh
+    # grown slots pad log_scales=0 → exp=1 > 0.5 and every first child in
+    # such a slot was pruned in the same pass).
+    prune = new_params.opacities() < cfg.prune_opacity_threshold
+    if use_size_cull:
+        new_scale_max = jnp.max(new_params.scales(), axis=-1)
+        toobig = new_scale_max > cfg.prune_scale_threshold
+        if use_screen_size:
+            # children have no screen-size history yet — exempt them
+            max2d = jnp.where(touched, 0.0, state.max_radii)
+            toobig = toobig | (max2d > cfg.cull_screen_size)
+        prune = prune | toobig
     alive = new_params.alive & ~prune
     new_params = dataclasses.replace(new_params, alive=alive)
 

@@ -22,6 +22,42 @@ import orbax.checkpoint as ocp
 METHOD_NAME = "depth-gaussian-splatting"
 
 
+def _find_leading_dim(meta, key_name: str):
+    """Walk an orbax item-metadata tree (nested dicts / dataclass-likes)
+    for an entry named ``key_name`` and return its leading dimension."""
+    stack = [meta]
+    while stack:
+        node = stack.pop()
+        items = None
+        if isinstance(node, dict):
+            items = node.items()
+        elif hasattr(node, "tree") and isinstance(getattr(node, "tree"), dict):
+            items = node.tree.items()
+        elif dataclasses.is_dataclass(node):
+            items = ((f.name, getattr(node, f.name))
+                     for f in dataclasses.fields(node))
+        if items is None:
+            continue
+        for k, v in items:
+            if k == key_name and hasattr(v, "shape"):
+                return v.shape[0]
+            stack.append(v)
+    raise KeyError(key_name)
+
+
+def restore_trainer(trainer, mgr: "CheckpointManager",
+                    step: Optional[int] = None) -> None:
+    """Restore ``trainer.state`` from ``mgr``, growing the template first if
+    the checkpoint was saved at a larger progressive capacity (the normal
+    case after any densify-driven growth — a fresh Trainer starts small)."""
+    from touchgs_tpu.train.trainer import grow_state
+
+    cap = mgr.saved_capacity(step)
+    if cap is not None and cap > trainer.state.params.capacity:
+        trainer.state = grow_state(trainer.state, cap)
+    trainer.state = mgr.restore(trainer.state, step)
+
+
 def make_run_dir(output_root: str | Path, scene_name: str) -> Path:
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
     run_dir = Path(output_root) / scene_name / METHOD_NAME / stamp
@@ -70,6 +106,43 @@ class CheckpointManager:
     def save(self, step: int, state) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        # sidecar capacity index: restore() needs a template whose leaves
+        # match the SAVED shapes, but progressive capacity growth
+        # (trainer.grow_capacity) means a fresh Trainer's arrays are usually
+        # smaller than what was saved — record capacity per step so
+        # restore_trainer() can grow the template first
+        cap = getattr(getattr(state, "params", None), "capacity", None)
+        if cap is not None:
+            idx_path = self.run_dir / "capacities.json"
+            idx = {}
+            if idx_path.exists():
+                try:
+                    idx = json.loads(idx_path.read_text())
+                except (OSError, json.JSONDecodeError):
+                    idx = {}
+            idx[str(step)] = int(cap)
+            idx_path.write_text(json.dumps(idx))
+
+    def saved_capacity(self, step: Optional[int] = None) -> Optional[int]:
+        """Capacity of the Gaussian arrays in the checkpoint at ``step``
+        (sidecar index first, orbax array metadata as fallback for runs
+        saved before the sidecar existed)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        idx_path = self.run_dir / "capacities.json"
+        if idx_path.exists():
+            try:
+                cap = json.loads(idx_path.read_text()).get(str(step))
+                if cap:
+                    return int(cap)
+            except (OSError, json.JSONDecodeError):
+                pass
+        try:
+            meta = self._mgr.item_metadata(step)
+            return int(_find_leading_dim(meta, "means"))
+        except Exception:
+            return None
 
     def restore(self, state_like, step: Optional[int] = None):
         step = self._mgr.latest_step() if step is None else step

@@ -115,16 +115,24 @@ def make_train_step(cfg: TrainConfig, optimizer) -> Callable:
 
 
 def make_refine_step(cfg: TrainConfig):
-    def refine_fn(state: TrainState, key):
+    """Jitted refine with splatfacto's step-dependent schedule flags as
+    static args (a handful of flag transitions per run → a handful of
+    recompiles, each cached)."""
+
+    def refine_fn(state: TrainState, key, do_densify=True,
+                  use_size_cull=True, use_screen_size=False):
         params, densify, touched = refine(
-            state.params, state.densify, key, cfg.densify
+            state.params, state.densify, key, cfg.densify,
+            do_densify=do_densify, use_size_cull=use_size_cull,
+            use_screen_size=use_screen_size,
         )
         opt_state = reset_opt_slots(state.opt_state, touched, params.capacity)
         return dataclasses.replace(
             state, params=params, opt_state=opt_state, densify=densify
         )
 
-    return jax.jit(refine_fn, donate_argnums=(0,))
+    return jax.jit(refine_fn, donate_argnums=(0,),
+                   static_argnums=(2, 3, 4))
 
 
 def make_reset_opacity_step(cfg: TrainConfig):
@@ -153,15 +161,21 @@ def grow_state(state: TrainState, new_capacity: int) -> TrainState:
     if new_capacity <= old:
         return state
 
-    def pad(leaf):
+    def pad(leaf, fill=0.0):
         if (hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1
                 and leaf.shape[0] == old):
             width = [(0, new_capacity - old)] + [(0, 0)] * (leaf.ndim - 1)
-            return jnp.pad(leaf, width)
+            return jnp.pad(leaf, width, constant_values=fill)
         return leaf
 
+    # log_scales pads with a large negative (scale ≈ 0) so virgin slots can
+    # never trip a size-based prune before their first write (r3 advisor)
+    padded_params = jax.tree.map(pad, state.params)
+    padded_params = dataclasses.replace(
+        padded_params, log_scales=pad(state.params.log_scales, fill=-12.0))
+
     return TrainState(
-        params=jax.tree.map(pad, state.params),
+        params=padded_params,
         opt_state=jax.tree.map(pad, state.opt_state),
         densify=jax.tree.map(pad, state.densify),
         step=state.step,
@@ -182,7 +196,8 @@ class Trainer:
         )
 
         n_seed = (len(scene.seed_points)
-                  if scene.seed_points is not None else 50_000)
+                  if scene.seed_points is not None
+                  and len(scene.seed_points) > 0 else 50_000)
         init_cap = cfg.model.max_gaussians
         if cfg.grow_capacity:
             init_cap = min(init_cap,
@@ -244,7 +259,7 @@ class Trainer:
             else None
         )
         batch = (cam, image, depth, unc)
-        nbytes = sum(int(np.prod(a.shape)) * 4 for a in (image, depth, unc)
+        nbytes = sum(int(a.nbytes) for a in (image, depth, unc)
                      if a is not None)
         if self._batch_cache_bytes + nbytes <= self.cfg.view_cache_bytes:
             self._batch_cache[view_idx] = batch
@@ -295,7 +310,19 @@ class Trainer:
                     self.state = grow_state(
                         self.state, min(cap * 2, cfg.model.max_gaussians))
                 self.key, sub = jax.random.split(self.key)
-                self.state = self.refine_step(self.state, sub)
+                # splatfacto's step schedule: pause densification for
+                # (num_train_views + refine_every) steps after each opacity
+                # reset (grad stats are garbage there — cull only); enable
+                # size culling only after the first reset period; screen-size
+                # gates until stop_screen_size_at.
+                pause = min(len(self.scene.i_train) + dcfg.refine_every,
+                            dcfg.reset_opacity_every // 2)
+                do_densify = (step % dcfg.reset_opacity_every) > pause
+                self.state = self.refine_step(
+                    self.state, sub, do_densify,
+                    step > dcfg.reset_opacity_every,
+                    step < dcfg.stop_screen_size_at,
+                )
             if step > 0 and step % dcfg.reset_opacity_every == 0 and step < dcfg.stop_refine_at:
                 self.state = self.reset_step(self.state)
             if step % cfg.log_every == 0 or step == steps - 1:
