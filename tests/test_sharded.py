@@ -73,10 +73,10 @@ def test_sharded_multi_step_runs(scene):
         state, metrics = step(state, cam, image, depth, unc, jnp.int32(0))
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
-    # params stayed sharded over 'model'
+    # params stayed fully sharded over the Gaussian axis (ZeRO-style)
     shardings = state_shardings(mesh, state)
     means_spec = state.params.means.sharding.spec
-    assert means_spec[0] == "model"
+    assert means_spec[0] == ("model", "data")
 
 
 def test_sharded_pallas_matches_single_device(scene):

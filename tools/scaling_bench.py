@@ -59,10 +59,13 @@ def measure(n_devices: int | None, use_tpu: bool) -> dict:
     model_axis = 2 if n >= 4 and n % 2 == 0 else 1
     mesh = global_mesh(model=model_axis)
 
+    # census mode inspects the FLAGSHIP path: pallas kernels (interpret on
+    # CPU) + the explicit reduce-scatter gaussian sharding
+    use_pallas = (jax.default_backend() != "cpu"
+                  or bool(os.environ.get("TGS_HLO_CENSUS")))
     cfg = TrainConfig(
         model=ModelConfig(max_gaussians=CAPACITY, sh_degree=1,
-                          rasterize=RasterizeConfig(
-                              use_pallas=jax.default_backend() != "cpu")),
+                          rasterize=RasterizeConfig(use_pallas=use_pallas)),
         depth=DepthLossConfig(), densify=DensifyConfig(),
         optim=OptimConfig(),
     )
@@ -84,6 +87,20 @@ def measure(n_devices: int | None, use_tpu: bool) -> dict:
 
     step = make_sharded_train_step(cfg, mesh, optimizer)
     sh = jnp.int32(1)
+    if os.environ.get("TGS_HLO_CENSUS"):
+        # collective census of the compiled sharded step (SCALING_r04.md §2)
+        import collections
+        import re
+
+        hlo = step.lower(state, cam, image, depth, unc, sh).compile().as_text()
+        census = collections.Counter()
+        for opname in ("reduce-scatter", "all-reduce", "all-gather",
+                       "all-to-all", "collective-permute"):
+            census[opname] = len(re.findall(r"\b" + opname, hlo))
+        lines = [ln.strip()[:160] for ln in hlo.splitlines()
+                 if "reduce-scatter(" in ln and "=" in ln]
+        return {"n_devices": n, "mesh": dict(mesh.shape),
+                "hlo_census": dict(census), "reduce_scatter_ops": lines}
     for _ in range(WARMUP):
         state, m = step(state, cam, image, depth, unc, sh)
     jax.block_until_ready(m["loss"])
@@ -111,8 +128,15 @@ def main():
                     help="comma-separated device counts (subprocess each)")
     ap.add_argument("--tpu", action="store_true",
                     help="measure the real backend (after init_distributed)")
+    ap.add_argument("--hlo", action="store_true",
+                    help="print the compiled collective census instead of "
+                         "timing (reduce-scatter evidence, SCALING_r04.md)")
     args = ap.parse_args()
 
+    if args.hlo:
+        os.environ["TGS_HLO_CENSUS"] = "1"
+        print(json.dumps(measure(args.devices or 8, args.tpu)), flush=True)
+        return
     if args.devices is not None or args.tpu:
         print(json.dumps(measure(args.devices, args.tpu)), flush=True)
         return

@@ -52,6 +52,7 @@ def render(
     k_tile: int | None = None,
     tile_shards: int = 0,
     tile_pspec=None,
+    gaussian_pspec=None,
 ) -> tuple[RenderOutput, ProjectedGaussians]:
     """Render one view. Returns (outputs, projected) — `projected` feeds the
     densification statistics (radii, validity)."""
@@ -91,6 +92,7 @@ def render(
             background=bg, k_tile=k_tile,
             interpret=jax.default_backend() == "cpu",
             tile_shards=tile_shards, tile_pspec=tile_pspec,
+            gaussian_pspec=gaussian_pspec,
         )
     else:
         out = rasterize_tiled(

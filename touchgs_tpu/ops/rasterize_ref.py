@@ -26,6 +26,11 @@ class RenderOutput(NamedTuple):
     rgb: jnp.ndarray    # (H, W, 3)
     depth: jnp.ndarray  # (H, W) alpha-normalized expected depth
     acc: jnp.ndarray    # (H, W) accumulated opacity
+    # scalar diagnostic (Pallas path only): tiles whose gaussian list was
+    # capped at k_tile AND whose composite was still unsaturated when the
+    # scan ended — i.e. tiles that actually LOST contributions to
+    # truncation (VERDICT r3 #6: track during training, not just bench)
+    lossy_tiles: jnp.ndarray | None = None
 
 
 def _composite_pixels(

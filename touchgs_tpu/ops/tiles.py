@@ -85,6 +85,29 @@ def bin_gaussians(
     bh = y1 - y0 + 1
     n_cover = bw * bh  # tiles covered by each gaussian (pre-cap)
 
+    # When the bbox exceeds the T_cap budget, enumerate a cap-sized window
+    # CENTERED on the projected mean instead of the first T_cap tiles in
+    # row-major order (which silently dropped the bbox's entire bottom —
+    # visible tile-shaped holes under large gaussians).  The window shape
+    # matches the bbox aspect (ww·wh ≤ T_cap) so what gets dropped is the
+    # low-α fringe farthest from the center, mirroring the α-ordering the
+    # corner cull below already enforces.
+    over = n_cover > T_cap
+    ratio = bw.astype(jnp.float32) / jnp.maximum(bh.astype(jnp.float32), 1.0)
+    ww = jnp.clip(jnp.round(jnp.sqrt(T_cap * ratio)).astype(jnp.int32), 1, T_cap)
+    ww = jnp.minimum(ww, bw)
+    wh = jnp.minimum(T_cap // ww, bh)
+    ww = jnp.minimum(T_cap // wh, bw)   # give leftover budget back to x
+    cx_t = jnp.clip(jnp.floor(mx / cfg.tile_w), 0, n_tx - 1).astype(jnp.int32)
+    cy_t = jnp.clip(jnp.floor(my / cfg.tile_h), 0, n_ty - 1).astype(jnp.int32)
+    wx0 = jnp.clip(cx_t - ww // 2, x0, x1 - ww + 1)
+    wy0 = jnp.clip(cy_t - wh // 2, y0, y1 - wh + 1)
+    x0 = jnp.where(over, wx0, x0)
+    y0 = jnp.where(over, wy0, y0)
+    bw = jnp.where(over, ww, bw)
+    bh = jnp.where(over, wh, bh)
+    n_cover = bw * bh
+
     # quantized depth: scale valid camera-space depths into the integer range
     # left below the tile id bits (gsplat packs fp32 depth bits the same way)
     depth_bits = 31 - max(n_tiles, 1).bit_length()

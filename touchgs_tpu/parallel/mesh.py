@@ -51,19 +51,22 @@ def make_mesh(
 
 
 def param_pspecs() -> dict:
-    """PartitionSpecs for the differentiable param dict: Gaussian axis on
-    'model'."""
-    return {g: P("model") for g in PARAM_GROUPS}
+    """PartitionSpecs for the differentiable param dict: Gaussian axis fully
+    sharded over every device (ZeRO-style)."""
+    return {g: P(("model", "data")) for g in PARAM_GROUPS}
 
 
 def state_shardings(mesh: Mesh, state) -> object:
-    """NamedShardings for a TrainState pytree: every leaf whose leading axis is
-    the Gaussian capacity is sharded over 'model'; everything else replicated."""
+    """NamedShardings for a TrainState pytree: every leaf whose leading axis
+    is the Gaussian capacity is sharded over ('model', 'data') — params,
+    Adam moments, and densify stats all live fully sharded, so the optimizer
+    update runs shard-local on 1/(model·data) of the rows per device;
+    everything else replicated."""
     capacity = state.params.capacity
 
     def spec_for(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
-            return NamedSharding(mesh, P("model"))
+            return NamedSharding(mesh, P(("model", "data")))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec_for, state)

@@ -1,23 +1,24 @@
 """pjit'd multi-device training step (data=tiles × model=gaussians).
 
-One jitted SPMD program per train step:
+One jitted SPMD program per train step (round-4 explicit-reduce-scatter
+design; the round-3 implicit form measured an ALL-reduce in HLO,
+SCALING_r03.md §3):
 
-1. Gaussian params + Adam moments live sharded over ``model`` (leading axis).
+1. Gaussian params + Adam moments live fully sharded over EVERY device —
+   leading axis split over ``('model', 'data')`` (ZeRO-style; the optimizer
+   update is shard-local with zero resharding).
 2. Projection runs shard-local (elementwise over the Gaussian axis).
-3. Projected 2D splats (~12 floats/Gaussian) are all-gathered (sharding
-   constraint → replicated) for binning; the gather's transpose reduces
-   per-Gaussian gradients across the ``data`` axis.  MEASURED (compiled HLO
-   of this step on an 8-device virtual mesh, see SCALING_r03.md): XLA emits
-   that reduction as an **all-reduce** of the per-Gaussian gradient tensor
-   (e.g. ``all-reduce (f32[C/model, 16], ...)``), NOT the reduce-scatter a
-   hand-scheduled implementation would use — each model shard keeps only its
-   slice afterwards, so ~(model−1)/model of the all-reduce payload is wasted
-   bandwidth.  Whether the collective overlaps the backward sweep is decided
-   by XLA's async-collective pass on real multi-chip hardware and is not
-   observable on this single-chip setup; treat overlap as unverified.
-4. The compositing tile axis is sharded over ``data``.
-5. Loss reduction + param update happen under their natural shardings; the
-   optimizer update is shard-local over ``model``.
+3. The packed attribute table enters the rasterizer's shard_map region
+   sharded and is ``all_gather``-ed (tiled) inside; the all_gather's
+   TRANSPOSE is ``psum_scatter`` — the compiled HLO carries a literal
+   ``reduce-scatter`` for the per-Gaussian gradient reduction, each device
+   receiving exactly its 1/(model·data) slice (no wasted payload, unlike
+   the all-reduce XLA emits for the implicit form).
+4. The compositing tile axis is sharded over ``('data', 'model')`` — every
+   chip composites a distinct slice of the tile grid (the round-3 design
+   replicated tile work across ``model``, wasting (model−1)/model of the
+   fleet's compositing throughput).
+5. Loss reduction happens under its natural sharding.
 
 Run the returned step function normally — it enters the mesh context itself.
 """
@@ -44,8 +45,8 @@ def make_sharded_train_step(
     """Returns step(state, camera, image, depth, unc, active_sh_degree)."""
     if optimizer is None:
         optimizer = make_optimizer(cfg.optim)
-    n_data = mesh.shape["data"]
-    replicate = NamedSharding(mesh, P())
+    n_total = mesh.shape["data"] * mesh.shape["model"]
+    gaussian_spec = NamedSharding(mesh, P(("model", "data")))
 
     def step_fn(state: TrainState, camera: Camera, image, depth, unc,
                 active_sh_degree):
@@ -53,9 +54,7 @@ def make_sharded_train_step(
 
         def constrain_params(tree):
             return jax.tree.map(
-                lambda a: jax.lax.with_sharding_constraint(
-                    a, NamedSharding(mesh, P("model"))
-                ),
+                lambda a: jax.lax.with_sharding_constraint(a, gaussian_spec),
                 tree,
             )
 
@@ -66,8 +65,9 @@ def make_sharded_train_step(
                 params, camera, cfg.model,
                 active_sh_degree=active_sh_degree,
                 means2d_offset=means2d_offset,
-                tile_shards=n_data,
-                tile_pspec=NamedSharding(mesh, P("data")),
+                tile_shards=n_total,
+                tile_pspec=NamedSharding(mesh, P(("data", "model"))),
+                gaussian_pspec=gaussian_spec,
             )
             losses = compute_losses(
                 out, image, depth, unc, cfg.depth, cfg.ssim_lambda
