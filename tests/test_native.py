@@ -186,3 +186,124 @@ def test_jpeg_decode_native():
         bad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(bad),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size, shape)
     assert n == -2
+
+
+# ---------------- compliant arm controller (arm_control.cpp) ----------------
+
+def _arm3():
+    """3-DoF arm: yaw base + two pitch links in a vertical plane."""
+    from touchgs_tpu.native.arm import CompliantArm
+
+    dh = [[0.0, -np.pi / 2, 0.4, 0.0],
+          [0.4, 0.0, 0.0, 0.0],
+          [0.3, 0.0, 0.0, 0.0]]
+    mass = [2.0, 1.5, 0.8]
+    com = [[0.0, 0.0, 0.2], [0.2, 0.0, 0.0], [0.15, 0.0, 0.0]]
+    return CompliantArm(dh, mass, com)
+
+
+def test_arm_fk_planar():
+    from touchgs_tpu.native.arm import CompliantArm, arm_available
+    if not arm_available():
+        pytest.skip("native toolchain unavailable")
+    arm = CompliantArm([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    p = arm.fk([0.0, 0.0])
+    np.testing.assert_allclose(p[:3, 3], [2, 0, 0], atol=1e-12)
+    p = arm.fk([np.pi / 2, 0.0])
+    np.testing.assert_allclose(p[:3, 3], [0, 2, 0], atol=1e-12)
+    p = arm.fk([np.pi / 2, -np.pi / 2])
+    np.testing.assert_allclose(p[:3, 3], [1, 1, 0], atol=1e-12)
+
+
+def test_arm_jacobian_matches_finite_difference():
+    from touchgs_tpu.native.arm import arm_available
+    if not arm_available():
+        pytest.skip("native toolchain unavailable")
+    arm = _arm3()
+    q = np.array([0.3, -0.7, 1.1])
+    J = arm.jacobian(q)
+    eps = 1e-6
+    for i in range(3):
+        qp, qm = q.copy(), q.copy()
+        qp[i] += eps; qm[i] -= eps
+        dpos = (arm.fk(qp)[:3, 3] - arm.fk(qm)[:3, 3]) / (2 * eps)
+        np.testing.assert_allclose(J[:3, i], dpos, atol=1e-5)
+
+
+def test_arm_gravity_matches_potential_energy_gradient():
+    from touchgs_tpu.native.arm import arm_available
+    if not arm_available():
+        pytest.skip("native toolchain unavailable")
+    arm = _arm3()
+    mass = [2.0, 1.5, 0.8]
+    com = [[0.0, 0.0, 0.2], [0.2, 0.0, 0.0], [0.15, 0.0, 0.0]]
+    dh = [[0.0, -np.pi / 2, 0.4, 0.0],
+          [0.4, 0.0, 0.0, 0.0],
+          [0.3, 0.0, 0.0, 0.0]]
+
+    def pe(q):
+        # world COM z of each link via the joint frames
+        import numpy as _np
+        T = _np.eye(4)
+        total = 0.0
+        for i in range(3):
+            a, al, d, th0 = dh[i]
+            ct, st = _np.cos(th0 + q[i]), _np.sin(th0 + q[i])
+            ca, sa = _np.cos(al), _np.sin(al)
+            L = _np.array([[ct, -st * ca, st * sa, a * ct],
+                           [st, ct * ca, -ct * sa, a * st],
+                           [0, sa, ca, d],
+                           [0, 0, 0, 1]])
+            T = T @ L
+            c = T @ _np.array([*com[i], 1.0])
+            total += mass[i] * 9.81 * c[2]
+        return total
+
+    q = np.array([0.4, -0.5, 0.9])
+    tau = arm.gravity(q)
+    eps = 1e-6
+    for i in range(3):
+        qp, qm = q.copy(), q.copy()
+        qp[i] += eps; qm[i] -= eps
+        np.testing.assert_allclose(tau[i], (pe(qp) - pe(qm)) / (2 * eps),
+                                   atol=1e-4)
+
+
+def test_arm_compliance_converges_to_target_pose():
+    from touchgs_tpu.native.arm import ArmSim, arm_available
+    if not arm_available():
+        pytest.skip("native toolchain unavailable")
+    arm = _arm3()
+    q_target = np.array([0.2, -0.6, 0.9])
+    target = arm.fk(q_target)
+    sim = ArmSim(arm, q0=[0.0, -0.3, 0.5])
+    K = [400.0] * 3 + [20.0] * 3
+    D = [40.0] * 3 + [2.0] * 3
+    for _ in range(6000):
+        sim.step_compliance(target, K, D, dt=1e-3)
+    q, dq = sim.state()
+    err = np.linalg.norm(arm.fk(q)[:3, 3] - target[:3, 3])
+    assert err < 2e-3, f"pose error {err*1e3:.2f} mm"
+    assert np.abs(dq).max() < 0.05
+
+
+def test_arm_guarded_touch_reaches_force_setpoint():
+    """The touch-capture primitive: approach along -z until the contact
+    force reaches the setpoint, then hold it (the reference controller's
+    press-DenseTact-on-surface behavior)."""
+    from touchgs_tpu.native.arm import ArmSim, arm_available
+    if not arm_available():
+        pytest.skip("native toolchain unavailable")
+    arm = _arm3()
+    q0 = np.array([0.0, -0.4, 0.8])
+    z0 = arm.fk(q0)[2, 3]
+    sim = ArmSim(arm, q0=q0, plane_z=z0 - 0.03, k_contact=2000.0)
+    K = [600.0] * 3 + [30.0] * 3
+    D = [50.0] * 3 + [3.0] * 3
+    held = False
+    for _ in range(12000):
+        held = sim.step_guarded([0.0, 0.0, -1.0], speed=0.05, f_stop=5.0,
+                                stiffness=K, damping=D, dt=1e-3, tol_n=0.5)
+    assert held, f"contact force {sim.contact_force()} never held at 5 N"
+    fz = sim.contact_force()[2]
+    assert abs(fz - 5.0) < 0.5, f"held force {fz:.2f} N"

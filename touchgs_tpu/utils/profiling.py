@@ -35,14 +35,22 @@ class ChipSpec:
     peak_flops_f32: float = 49e12      # MXU f32 (bf16 ≈ 197e12)
     peak_flops_bf16: float = 197e12
     peak_flops_vpu: float = 3.9e12     # vector unit f32 (8x128 lanes,
-                                       # ~4 ALUs, ~0.94 GHz) — the right peak
-                                       # for elementwise compositing work
+                                       # ~4 ALUs, ~0.94 GHz) — the DATASHEET
+                                       # peak for elementwise work
+    # measured sustainable VPU rate for the compositing op mix on THIS chip
+    # (tools/exp_kernel_anatomy.py, round 4): the bare α quad-form — 16
+    # ops/(entry,pixel), no prefix, no MXU, no exp2 sensitivity — runs 327.5M
+    # entry-pixels in 3.15 ms ⇒ ~1.7 T op/s sustained.  The datasheet 3.9T
+    # assumes an issue mix this kernel's dependent multiply-add chains don't
+    # reach, so 'practical efficiency' is reported against this calibrated
+    # rate; the datasheet-peak number stays alongside it.
+    vpu_sustained: float = 1.7e12
     hbm_bw: float = 819e9              # bytes/s
 
 
 V5E = ChipSpec()
 V5P = ChipSpec(name="v5p", peak_flops_f32=114e12, peak_flops_bf16=459e12,
-               peak_flops_vpu=7.9e12, hbm_bw=2765e9)
+               peak_flops_vpu=7.9e12, vpu_sustained=3.4e12, hbm_bw=2765e9)
 
 
 @dataclasses.dataclass
@@ -58,8 +66,15 @@ class StageCost:
         return self.flops / max(self.bytes_accessed, 1.0)
 
     def roofline_time(self, chip: ChipSpec) -> float:
-        """Min achievable seconds under the roofline model."""
+        """Min achievable seconds under the roofline model (datasheet peak)."""
         peak = (chip.peak_flops_vpu if self.unit == "vpu"
+                else chip.peak_flops_f32)
+        return max(self.flops / peak, self.bytes_accessed / chip.hbm_bw)
+
+    def practical_time(self, chip: ChipSpec) -> float:
+        """Min achievable seconds against the CALIBRATED sustained rate
+        (ChipSpec.vpu_sustained, measured by tools/exp_kernel_anatomy.py)."""
+        peak = (chip.vpu_sustained if self.unit == "vpu"
                 else chip.peak_flops_f32)
         return max(self.flops / peak, self.bytes_accessed / chip.hbm_bw)
 
@@ -112,17 +127,22 @@ def report(stages: list[StageCost], measured_s: dict[str, float],
     lines = [
         f"roofline report — chip {chip.name} "
         f"(peak {chip.peak_flops_f32/1e12:.0f} Tf32, "
-        f"{chip.hbm_bw/1e9:.0f} GB/s)",
+        f"{chip.hbm_bw/1e9:.0f} GB/s; VPU datasheet "
+        f"{chip.peak_flops_vpu/1e12:.1f}T / sustained "
+        f"{chip.vpu_sustained/1e12:.1f}T calibrated)",
         f"{'stage':<12} {'GFLOP':>8} {'MB':>8} {'AI':>6} "
-        f"{'roof_ms':>8} {'meas_ms':>8} {'eff':>6}",
+        f"{'roof_ms':>8} {'meas_ms':>8} {'eff':>6} {'prac':>6}",
     ]
     for s in stages:
         roof = s.roofline_time(chip)
+        prac = s.practical_time(chip)
         meas = measured_s.get(s.name)
         eff = f"{roof / meas:6.1%}" if meas else "   n/a"
+        peff = f"{prac / meas:6.1%}" if meas else "   n/a"
         meas_ms = f"{meas*1e3:8.2f}" if meas else "     n/a"
         lines.append(
             f"{s.name:<12} {s.flops/1e9:8.2f} {s.bytes_accessed/1e6:8.1f} "
-            f"{s.arithmetic_intensity():6.1f} {roof*1e3:8.2f} {meas_ms} {eff}"
+            f"{s.arithmetic_intensity():6.1f} {roof*1e3:8.2f} {meas_ms} {eff} "
+            f"{peff}"
         )
     return "\n".join(lines)
