@@ -336,11 +336,17 @@ class Trainer:
             if step % cfg.log_every == 0 or step == steps - 1:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics["step"] = step
-                # truncation guard: tiles reported capped-and-unsaturated on
-                # two consecutive log points → double the per-tile entry cap
-                # (one recompile) so training never silently drops
-                # contributions (VERDICT r3 #6)
-                if last_metrics.get("lossy_tiles", 0) > 0:
+                # truncation guard: when > 0.5% of tiles report
+                # capped-and-unsaturated on two consecutive log points,
+                # double the per-tile entry cap (one recompile) so training
+                # never silently drops meaningful contributions (VERDICT r3
+                # #6).  The fraction threshold keeps a handful of borderline
+                # tiles (e.g. 3/625, observed post-escalation) from paying a
+                # 2x scatter-row cost for a sub-luminance-step effect.
+                rcfg = cfg.model.rasterize
+                n_tiles = (-(-self.scene.cameras.width // rcfg.tile_w)
+                           * -(-self.scene.cameras.height // rcfg.tile_h))
+                if last_metrics.get("lossy_tiles", 0) > 0.005 * n_tiles:
                     self._lossy_streak += 1
                 else:
                     self._lossy_streak = 0
