@@ -5,8 +5,10 @@ touch supervision where vision fails, uncertainty-weighted fusion, sparse
 touch seeding).  This demo builds the synthetic analogue end-to-end through
 the REAL pipeline modules:
 
-- textureless scene: uniform matte sphere on a uniform plane — photometric
-  supervision carries silhouette information only;
+- mirror-like scene: a TEXTURELESS matte sphere on the usual textured
+  checkered plane (mirror_data's shape: the room has texture, the problem
+  object does not) — photometric supervision carries almost no geometry
+  information on the object;
 - "vision" monodepth that fails exactly the way depth nets fail on
   mirrors/glass: on the object it reads the surface BEHIND it (rendered
   plane-only depth), plus a global affine miscalibration off-object;
@@ -78,13 +80,14 @@ def main():
     print(f"device: {dev.device_kind}", flush=True)
     W = H = args.size
 
-    # --- textureless GT: uniform sphere + uniform plane -------------------
+    # --- GT: TEXTURELESS (mirror-like) sphere on the usual textured
+    # checkered plane — the mirror_data analogue: the room around the
+    # mirror has texture, the problem object does not
     means, quats, scales, colors, opac = build_gt_gaussians()
     n_sphere = 60_000
     G = means.shape[0]
     flat = np.asarray(colors).copy()
     flat[:n_sphere] = (0.82, 0.82, 0.85)      # uniform matte sphere
-    flat[n_sphere:] = (0.55, 0.55, 0.55)      # uniform plane
     colors = jnp.asarray(flat)
     gt = GaussianParams(
         means=means, quats=quats, log_scales=jnp.log(scales),
@@ -124,9 +127,11 @@ def main():
         pl_d = plane_depths[v]
         sph = (gt_d > 0) & (pl_d - gt_d > 1e-3)     # pixels on the sphere
         # mirror-mode vision: reads THROUGH the object, then a global affine
-        # miscalibration a monodepth net would have
+        # miscalibration a monodepth net would have; no reading where the
+        # scene has no geometry (black background)
         vis = np.where(sph, pl_d, gt_d)
         vis = vis / 0.97 - 0.02 + rng.normal(0, 0.01, gt_d.shape)
+        vis = np.where(gt_d > 0, np.maximum(vis, 0.0), 0.0)
         # touch: accurate inside contact patches on the sphere
         pts, _, valid = bp(jnp.asarray(gt_d), jnp.asarray(images[v]),
                            intr, jnp.asarray(np.asarray(cam.c2w)))
@@ -166,15 +171,21 @@ def main():
     i_eval = i_all[i_all % 4 == 3]
     c2ws = np.stack([np.asarray(c.c2w) for c in cams])
 
-    # seeds A: touch patches, mirror preset --percent_take 5
-    seeds_a, cols_a = seed_point_cloud(touch, images, intr, c2ws, i_train,
-                                       percent_take=5.0, seed=0)
-    # seeds B: the vision baseline's own (wrong-on-sphere) depth, equally
-    # subsampled to a comparable count
-    pt_b = 100.0 * len(seeds_a) / max((dsgs_d[i_train] > 0).sum(), 1)
+    # seeds B (vision-only baseline): backproject the aligned monodepth —
+    # right on the plane, WRONG (through-object) on the sphere
+    pt_b = 100.0 * 20_000 / max((dsgs_d[i_train] > 0).sum(), 1)
     seeds_b, cols_b = seed_point_cloud(dsgs_d, images, intr, c2ws, i_train,
                                        percent_take=pt_b, seed=0)
-    print(f"seeds: touch={len(seeds_a)} vision={len(seeds_b)}", flush=True)
+    # seeds A (Touch-GS): the SAME scene seeds AUGMENTED by the touch
+    # patches (mirror preset --percent_take 5) — the reference adds
+    # points_touch.npy to the scene's initialization, it does not discard
+    # the rest of the scene
+    touch_pts, touch_cols = seed_point_cloud(touch, images, intr, c2ws,
+                                             i_train, percent_take=5.0,
+                                             seed=0)
+    seeds_a = np.concatenate([seeds_b, touch_pts])
+    cols_a = np.concatenate([cols_b, touch_cols])
+    print(f"seeds: vision={len(seeds_b)} +touch={len(touch_pts)}", flush=True)
 
     cameras = Cameras(
         fx=np.array([intr[0]] * args.views, np.float32),
@@ -246,8 +257,8 @@ in {args.touch_patches} contact patches, fused end-to-end by
 
 | config | depth supervision | seeds | eval PSNR | depth MAE | OBJECT depth MAE |
 |---|---|---|---|---|---|
-| Touch-GS (UNCERT 0.2/1.0) | fused touch+vision | touch patches ({len(seeds_a)}) | {a['eval_psnr']:.2f} dB | {a['depth_mae_cm']:.2f} cm | **{a['object_depth_mae_cm']:.2f} cm** |
-| vision-only (SIMPLE 0.2) | aligned monodepth | vision depth ({len(seeds_b)}) | {b['eval_psnr']:.2f} dB | {b['depth_mae_cm']:.2f} cm | {b['object_depth_mae_cm']:.2f} cm |
+| Touch-GS (UNCERT 0.2/1.0) | fused touch+vision | scene + touch ({len(seeds_a)}) | {a['eval_psnr']:.2f} dB | {a['depth_mae_cm']:.2f} cm | **{a['object_depth_mae_cm']:.2f} cm** |
+| vision-only (SIMPLE 0.2) | aligned monodepth | scene only ({len(seeds_b)}) | {b['eval_psnr']:.2f} dB | {b['depth_mae_cm']:.2f} cm | {b['object_depth_mae_cm']:.2f} cm |
 
 The OBJECT depth MAE column is the analogue of the reference's
 `gt_object_depth_mse` (`experiment_utils/get_results.py:51-52`): error on
