@@ -96,8 +96,15 @@ def main():
         alive=jnp.ones((G,), bool))
     plane_only = dataclasses.replace(
         gt, alive=gt.alive.at[:n_sphere].set(False))
+    # GT must be rendered LOSSLESSLY: at small resolutions the 100k GT
+    # splats concentrate thousands deep per tile and the training-path cap
+    # (k_tile 512) visibly truncates the oracle images (observed: black
+    # tile holes in the 400x400 hard-scene GT) — poisoning every metric
+    # trained/evaluated against them.  Cap high and verify via telemetry.
     gt_cfg = ModelConfig(max_gaussians=G, sh_degree=1,
-                         rasterize=RasterizeConfig(use_pallas=on_tpu))
+                         rasterize=RasterizeConfig(use_pallas=on_tpu,
+                                                   k_tile=8192,
+                                                   max_tiles_per_gaussian=32))
     cams = ring_cameras(args.views, W, H)
     gt_render = jax.jit(lambda g, c: render(g, c, gt_cfg, active_sh_degree=1)[0])
 
@@ -105,6 +112,10 @@ def main():
     images, depths, plane_depths = [], [], []
     for cam in cams:
         out = gt_render(gt, cam)
+        if out.lossy_tiles is not None:
+            assert int(out.lossy_tiles) == 0, (
+                f"GT render truncated ({int(out.lossy_tiles)} lossy tiles) — "
+                "raise gt_cfg k_tile")
         images.append(np.asarray(out.rgb))
         depths.append(np.asarray(out.depth))
         plane_depths.append(np.asarray(gt_render(plane_only, cam).depth))
@@ -219,10 +230,16 @@ def main():
         ips = args.steps / (time.time() - t0)
 
         psnrs, maes, obj_maes = [], [], []
+        rdir = Path(f"/tmp/hard_scene_{tag}")
+        rdir.mkdir(exist_ok=True)
+        from PIL import Image
         for i in i_eval:
             out, _ = render(tr.state.params, cameras.at(int(i)), cfg.model,
                             active_sh_degree=2)
             r = np.asarray(out.rgb)
+            Image.fromarray((np.concatenate([r, images[i]], axis=1)
+                             .clip(0, 1) * 255).astype(np.uint8)).save(
+                rdir / f"eval_{i:02d}_pred_vs_gt.png")
             mse = float(((r - images[i]) ** 2).mean())
             psnrs.append(-10 * np.log10(max(mse, 1e-10)))
             d = np.asarray(out.depth)

@@ -126,8 +126,15 @@ def main():
         logit_opacities=jnp.log(opac / (1 - opac)),
         sh_dc=rgb_to_sh_dc(colors), sh_rest=jnp.zeros((G, 3, 3)),
         alive=jnp.ones((G,), bool))
+    # GT must be rendered LOSSLESSLY: at small resolutions the 100k GT
+    # splats concentrate thousands deep per tile and the training-path cap
+    # (k_tile 512) visibly truncates the oracle images (observed: black
+    # tile holes in the 400x400 hard-scene GT) — poisoning every metric
+    # trained/evaluated against them.  Cap high and verify via telemetry.
     gt_cfg = ModelConfig(max_gaussians=G, sh_degree=1,
-                         rasterize=RasterizeConfig(use_pallas=on_tpu))
+                         rasterize=RasterizeConfig(use_pallas=on_tpu,
+                                                   k_tile=8192,
+                                                   max_tiles_per_gaussian=32))
     cams = ring_cameras(args.views, W, H)
 
     print("rendering GT views...", flush=True)
@@ -140,6 +147,10 @@ def main():
         g, c2w_cam, gt_cfg, active_sh_degree=1)[0])
     for cam in cams:
         out = gt_render(gt, cam)
+        if out.lossy_tiles is not None:
+            assert int(out.lossy_tiles) == 0, (
+                f"GT render truncated ({int(out.lossy_tiles)} lossy tiles) — "
+                "raise gt_cfg k_tile")
         images.append(np.asarray(out.rgb))
         depths.append(np.asarray(out.depth))
     images = np.stack(images)
