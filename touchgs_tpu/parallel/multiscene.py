@@ -88,6 +88,8 @@ def make_multiscene_train_step(
     def step_fn(state: TrainState, cameras: Camera, images, depths, uncs,
                 active_sh_degree):
         S, C = state.params.means.shape[:2]
+        # static per-batch camera resolution (make_batch asserts uniformity)
+        cameras0_width, cameras0_height = cameras.width, cameras.height
 
         def scene_loss(params_s: GaussianParams, cam: Camera, image, depth,
                        unc, offset):
@@ -119,8 +121,13 @@ def make_multiscene_train_step(
         diff = jax.tree.map(lambda p, u: p + u, diff, updates)
         params = _merge_params(state.params, constrain(diff, P("data", "model")))
 
-        densify = jax.vmap(update_stats)(state.densify, screen_grads, radii,
-                                         valid)
+        # normalized units (splatfacto's 0.5·max(W,H) grad rescale and the
+        # max(W,H) radius fraction), same as the single-scene trainer —
+        # all scenes share one camera resolution (asserted in make_batch)
+        densify = jax.vmap(
+            lambda s, g, r, v: update_stats(s, g, r, v, cameras0_width,
+                                            cameras0_height)
+        )(state.densify, screen_grads, radii, valid)
         new_state = TrainState(params=params, opt_state=opt_state,
                                densify=densify, step=state.step + 1)
         metrics = {"loss": loss, "psnr_per_scene": psnrs}
