@@ -69,7 +69,7 @@ def main():
     from touchgs_tpu.data.cameras import Cameras
     from touchgs_tpu.data.scene import Scene
     from touchgs_tpu.models.gaussians import GaussianParams
-    from touchgs_tpu.models.splatfacto import render
+    from touchgs_tpu.models.splatfacto import render, render_lossless
     from touchgs_tpu.ops.sh import rgb_to_sh_dc
     from touchgs_tpu.touch.fusion import fuse_view
     from touchgs_tpu.touch.pointcloud import backproject_depth, seed_point_cloud
@@ -234,8 +234,8 @@ def main():
         rdir.mkdir(exist_ok=True)
         from PIL import Image
         for i in i_eval:
-            out, _ = render(tr.state.params, cameras.at(int(i)), cfg.model,
-                            active_sh_degree=2)
+            out = render_lossless(tr.state.params, cameras.at(int(i)),
+                                  cfg.model, active_sh_degree=2)
             r = np.asarray(out.rgb)
             Image.fromarray((np.concatenate([r, images[i]], axis=1)
                              .clip(0, 1) * 255).astype(np.uint8)).save(

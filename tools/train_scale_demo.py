@@ -106,7 +106,7 @@ def main():
     from touchgs_tpu.data.cameras import Cameras
     from touchgs_tpu.data.scene import Scene
     from touchgs_tpu.models.gaussians import GaussianParams
-    from touchgs_tpu.models.splatfacto import render
+    from touchgs_tpu.models.splatfacto import render, render_lossless
     from touchgs_tpu.ops.sh import rgb_to_sh_dc
     from touchgs_tpu.train.trainer import Trainer
 
@@ -211,8 +211,8 @@ def main():
     # depth MAE (masked) on eval views
     maes = []
     for i in scene.i_eval:
-        out, _ = render(trainer.state.params, scene.cameras.at(int(i)),
-                        cfg.model, active_sh_degree=2)
+        out = render_lossless(trainer.state.params, scene.cameras.at(int(i)),
+                              cfg.model, active_sh_degree=2)
         d = np.asarray(out.depth)
         m = depths[i] > 0
         maes.append(float(np.abs(d - depths[i])[m].mean()))

@@ -19,7 +19,7 @@ import numpy as np
 from touchgs_tpu.config import TrainConfig
 from touchgs_tpu.data.cameras import Camera
 from touchgs_tpu.models.gaussians import GaussianParams
-from touchgs_tpu.models.splatfacto import render
+from touchgs_tpu.models.splatfacto import render_lossless
 from touchgs_tpu.utils.transforms import focal_from_fov
 
 
@@ -129,8 +129,8 @@ def render_camera_path(
             cx=jnp.float32(width / 2), cy=jnp.float32(height / 2),
             c2w=jnp.asarray(pose, jnp.float32), width=width, height=height,
         )
-        out, _ = render(params, cam, cfg.model,
-                        active_sh_degree=cfg.model.sh_degree)
+        out = render_lossless(params, cam, cfg.model,
+                              active_sh_degree=cfg.model.sh_degree)
         frames.append(
             (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
         )

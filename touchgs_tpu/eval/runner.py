@@ -19,7 +19,7 @@ from touchgs_tpu.config import TrainConfig
 from touchgs_tpu.data.scene import Scene
 from touchgs_tpu.eval.metrics import eval_metrics
 from touchgs_tpu.models.gaussians import GaussianParams
-from touchgs_tpu.models.splatfacto import render
+from touchgs_tpu.models.splatfacto import render_lossless
 
 
 def evaluate_scene(
@@ -44,8 +44,9 @@ def evaluate_scene(
     renders = []
     for i in indices:
         cam = scene.cameras.at(int(i))
-        out, _ = render(params, cam, cfg.model,
-                        active_sh_degree=cfg.model.sh_degree)
+        # lossless: eval must not inherit the training-path k_tile cap
+        out = render_lossless(params, cam, cfg.model,
+                              active_sh_degree=cfg.model.sh_degree)
         m = eval_metrics(
             out.rgb, out.depth, jnp.asarray(scene.images[i]),
             supervision_depth=(

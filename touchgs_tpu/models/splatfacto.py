@@ -103,6 +103,34 @@ def render(
     return out, proj
 
 
+def render_lossless(
+    params: GaussianParams,
+    camera: Camera,
+    cfg: ModelConfig,
+    active_sh_degree: jnp.ndarray | int | None = None,
+    background: jnp.ndarray | None = None,
+    max_k_tile: int = 8192,
+) -> RenderOutput:
+    """Render with an escalating per-tile cap until nothing is truncated.
+
+    Training tolerates (and monitors) k_tile truncation; EVAL must not — a
+    trained model routinely concentrates more gaussians per tile than the
+    training cap, and evaluating through the same cap poisons the metrics
+    with tile-shaped holes (observed: 32-px black squares in eval renders,
+    r4).  Doubles k_tile until the truncation telemetry reads zero (one
+    cached jit per k_tile, so repeated evals pay nothing).
+    """
+    k = cfg.rasterize.k_tile
+    while True:
+        out, _ = render(params, camera, cfg,
+                        active_sh_degree=active_sh_degree,
+                        background=background, k_tile=k)
+        if (out.lossy_tiles is None or k >= max_k_tile
+                or int(out.lossy_tiles) == 0):
+            return out
+        k = min(k * 2, max_k_tile)
+
+
 class LossOutput(NamedTuple):
     total: jnp.ndarray
     rgb_l1: jnp.ndarray

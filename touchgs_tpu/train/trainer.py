@@ -375,9 +375,15 @@ class Trainer:
 
     def render_view(self, view_idx: int, use_dense: bool = False):
         cam = self.scene.cameras.at(view_idx)
-        out, _ = render(
-            self.state.params, cam, self.cfg.model,
-            active_sh_degree=self.cfg.model.sh_degree,
-            use_dense=use_dense,
-        )
-        return out
+        if use_dense:
+            out, _ = render(
+                self.state.params, cam, self.cfg.model,
+                active_sh_degree=self.cfg.model.sh_degree,
+                use_dense=True,
+            )
+            return out
+        from touchgs_tpu.models.splatfacto import render_lossless
+
+        # lossless: a trained model routinely exceeds the training k_tile
+        return render_lossless(self.state.params, cam, self.cfg.model,
+                               active_sh_degree=self.cfg.model.sh_degree)
