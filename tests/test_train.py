@@ -216,3 +216,25 @@ def test_restore_after_capacity_growth(tiny_scene, tmp_path):
     assert float(tr2.state.params.num_alive) == saved_alive
     out = tr2.render_view(0)
     assert not np.any(np.isnan(np.asarray(out.rgb)))
+
+
+def test_restore_recovers_escalated_k_tile(tiny_scene, tmp_path):
+    """r4 review: the truncation-guard's escalated k_tile must survive a
+    checkpoint resume, or the resumed run silently trains lossy again."""
+    from touchgs_tpu.train.checkpoint import CheckpointManager, restore_trainer
+    from touchgs_tpu.train.trainer import make_train_step
+
+    cfg = _tiny_cfg()
+    tr = Trainer(tiny_scene, cfg)
+    tr._k_tile = 1024  # as the truncation guard would have set
+    tr.train_step = make_train_step(cfg, tr.optimizer, k_tile=1024)
+    mgr = CheckpointManager(tmp_path / "run", cfg)
+    tr.run(max_steps=20, ckpt_manager=mgr)
+    mgr.close()
+
+    tr2 = Trainer(tiny_scene, cfg)
+    assert tr2._k_tile is None
+    mgr2 = CheckpointManager(tmp_path / "run")
+    restore_trainer(tr2, mgr2)
+    mgr2.close()
+    assert tr2._k_tile == 1024

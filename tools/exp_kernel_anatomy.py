@@ -70,13 +70,10 @@ def main():
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     n_chunks = k_tile // k_chunk
 
+    from touchgs_tpu.utils.profiling import measure
+
     def timeit(fn, *args, iters=20):
-        out = fn(*args); jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / iters * 1e3
+        return measure(fn, *args, iters=iters) * 1e3
 
     def make_variant(mode):
         def kernel(nc_ref, tid_ref, attr_ref, out_ref):

@@ -46,13 +46,10 @@ def main():
     opac = params.opacities()
     colors = jnp.abs(params.sh_dc)
 
+    from touchgs_tpu.utils.profiling import measure
+
     def timeit(fn, *args, iters=15):
-        out = fn(*args); jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / iters * 1e3
+        return measure(fn, *args, iters=iters) * 1e3
 
     ref_rgb = None
     for th, tw, k_tile, tcap in ((32, 32, 512, 16), (32, 64, 1024, 12),

@@ -43,7 +43,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.train_scale_demo import build_gt_gaussians, ring_cameras  # noqa: E402
+from tools.train_scale_demo import (  # noqa: E402
+    assert_lossless, build_gt_gaussians, lossless_gt_raster, ring_cameras)
 
 
 def main():
@@ -96,26 +97,15 @@ def main():
         alive=jnp.ones((G,), bool))
     plane_only = dataclasses.replace(
         gt, alive=gt.alive.at[:n_sphere].set(False))
-    # GT must be rendered LOSSLESSLY: at small resolutions the 100k GT
-    # splats concentrate thousands deep per tile and the training-path cap
-    # (k_tile 512) visibly truncates the oracle images (observed: black
-    # tile holes in the 400x400 hard-scene GT) — poisoning every metric
-    # trained/evaluated against them.  Cap high and verify via telemetry.
     gt_cfg = ModelConfig(max_gaussians=G, sh_degree=1,
-                         rasterize=RasterizeConfig(use_pallas=on_tpu,
-                                                   k_tile=8192,
-                                                   max_tiles_per_gaussian=32))
+                         rasterize=lossless_gt_raster(on_tpu))
     cams = ring_cameras(args.views, W, H)
     gt_render = jax.jit(lambda g, c: render(g, c, gt_cfg, active_sh_degree=1)[0])
 
     print("rendering GT + plane-only views...", flush=True)
     images, depths, plane_depths = [], [], []
     for cam in cams:
-        out = gt_render(gt, cam)
-        if out.lossy_tiles is not None:
-            assert int(out.lossy_tiles) == 0, (
-                f"GT render truncated ({int(out.lossy_tiles)} lossy tiles) — "
-                "raise gt_cfg k_tile")
+        out = assert_lossless(gt_render(gt, cam))
         images.append(np.asarray(out.rgb))
         depths.append(np.asarray(out.depth))
         plane_depths.append(np.asarray(gt_render(plane_only, cam).depth))

@@ -74,6 +74,27 @@ def ring_cameras(n_views, width, height, radius=2.2, z=0.8, focal_mul=1.0):
     return cams
 
 
+
+
+def lossless_gt_raster(on_tpu: bool):
+    """Raster config for oracle GT renders: k_tile 8192 / 32 tiles-per-
+    gaussian, measured 0 lossy tiles at 400^2 and 800^2 (the training-path
+    cap of 512 visibly truncated GT — RESULTS_r04.md).  Callers must still
+    assert render.lossy_tiles == 0 via assert_lossless()."""
+    from touchgs_tpu.config import RasterizeConfig
+
+    return RasterizeConfig(use_pallas=on_tpu, k_tile=8192,
+                           max_tiles_per_gaussian=32)
+
+
+def assert_lossless(out):
+    if out.lossy_tiles is not None:
+        assert int(out.lossy_tiles) == 0, (
+            f"GT render truncated ({int(out.lossy_tiles)} lossy tiles) — "
+            "raise the GT k_tile")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -126,15 +147,8 @@ def main():
         logit_opacities=jnp.log(opac / (1 - opac)),
         sh_dc=rgb_to_sh_dc(colors), sh_rest=jnp.zeros((G, 3, 3)),
         alive=jnp.ones((G,), bool))
-    # GT must be rendered LOSSLESSLY: at small resolutions the 100k GT
-    # splats concentrate thousands deep per tile and the training-path cap
-    # (k_tile 512) visibly truncates the oracle images (observed: black
-    # tile holes in the 400x400 hard-scene GT) — poisoning every metric
-    # trained/evaluated against them.  Cap high and verify via telemetry.
     gt_cfg = ModelConfig(max_gaussians=G, sh_degree=1,
-                         rasterize=RasterizeConfig(use_pallas=on_tpu,
-                                                   k_tile=8192,
-                                                   max_tiles_per_gaussian=32))
+                         rasterize=lossless_gt_raster(on_tpu))
     cams = ring_cameras(args.views, W, H)
 
     print("rendering GT views...", flush=True)
@@ -146,11 +160,7 @@ def main():
     gt_render = jax.jit(lambda g, c2w_cam: render(
         g, c2w_cam, gt_cfg, active_sh_degree=1)[0])
     for cam in cams:
-        out = gt_render(gt, cam)
-        if out.lossy_tiles is not None:
-            assert int(out.lossy_tiles) == 0, (
-                f"GT render truncated ({int(out.lossy_tiles)} lossy tiles) — "
-                "raise gt_cfg k_tile")
+        out = assert_lossless(gt_render(gt, cam))
         images.append(np.asarray(out.rgb))
         depths.append(np.asarray(out.depth))
     images = np.stack(images)

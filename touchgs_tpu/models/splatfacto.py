@@ -103,6 +103,12 @@ def render(
     return out, proj
 
 
+# last sufficient eval k_tile per (capacity, width, height): frames after
+# the first start at the proven cap instead of re-escalating (and
+# re-rendering) every camera of an eval sweep / video path
+_LOSSLESS_K: dict = {}
+
+
 def render_lossless(
     params: GaussianParams,
     camera: Camera,
@@ -118,15 +124,18 @@ def render_lossless(
     training cap, and evaluating through the same cap poisons the metrics
     with tile-shaped holes (observed: 32-px black squares in eval renders,
     r4).  Doubles k_tile until the truncation telemetry reads zero (one
-    cached jit per k_tile, so repeated evals pay nothing).
+    cached jit per k_tile; the sufficient cap is remembered per
+    capacity/resolution so subsequent frames render once).
     """
-    k = cfg.rasterize.k_tile
+    key = (params.capacity, camera.width, camera.height)
+    k = max(cfg.rasterize.k_tile, _LOSSLESS_K.get(key, 0))
     while True:
         out, _ = render(params, camera, cfg,
                         active_sh_degree=active_sh_degree,
                         background=background, k_tile=k)
         if (out.lossy_tiles is None or k >= max_k_tile
                 or int(out.lossy_tiles) == 0):
+            _LOSSLESS_K[key] = k
             return out
         k = min(k * 2, max_k_tile)
 

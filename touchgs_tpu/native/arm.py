@@ -74,6 +74,10 @@ class CompliantArm:
             com if com is not None else np.zeros((self.n, 3)), np.float64)
         self._h = lib.tgs_arm_create(self.n, _dp(dh_a), _dp(mass_a),
                                      _dp(com_a))
+        if not self._h:
+            raise ValueError(
+                f"tgs_arm_create rejected n_joints={self.n} "
+                f"(must be 1..{16})")
 
     def fk(self, q) -> np.ndarray:
         q = np.ascontiguousarray(q, np.float64)
@@ -131,6 +135,8 @@ class ArmSim:
             np.float64)
         self._h = self._lib.tgs_sim_create(arm._h, _dp(q0), _dp(inertia_a),
                                            damping, plane_z, k_contact)
+        if not self._h:
+            raise ValueError("tgs_sim_create failed (arm handle invalid?)")
 
     def state(self):
         q = np.empty(self.arm.n, np.float64)

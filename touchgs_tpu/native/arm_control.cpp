@@ -127,7 +127,7 @@ struct Arm {
   }
 };
 
-// rotation-vector error of R_target * R^T (angle-axis, small-angle safe)
+// rotation-vector error of R_target * R^T (angle-axis, safe at 0 AND pi)
 void rot_error(const double* pose, const double* target, double* w3) {
   // E = Rt * R^T
   double e[9];
@@ -141,9 +141,44 @@ void rot_error(const double* pose, const double* target, double* w3) {
   const double tr = e[0] + e[4] + e[8];
   const double cs = std::fmin(1.0, std::fmax(-1.0, (tr - 1.0) * 0.5));
   const double ang = std::acos(cs);
+  if (ang < 1e-9) {
+    // small angle: E - E^T ~ 2 [w]_x
+    w3[0] = 0.5 * (e[5] - e[7]);
+    w3[1] = 0.5 * (e[6] - e[2]);
+    w3[2] = 0.5 * (e[1] - e[3]);
+    return;
+  }
+  if (ang > M_PI - 1e-4) {
+    // near/at pi E is (almost) symmetric and E - E^T loses the axis; use
+    // the diagonal form E = 2 a a^T - I (a = unit axis), signs from the
+    // off-diagonals.  Without this branch a flipped target pose produced
+    // ZERO corrective torque (r4 review finding).
+    double a[3] = {std::sqrt(std::fmax(0.0, (e[0] + 1.0) * 0.5)),
+                   std::sqrt(std::fmax(0.0, (e[4] + 1.0) * 0.5)),
+                   std::sqrt(std::fmax(0.0, (e[8] + 1.0) * 0.5))};
+    // pick the largest component as reference for sign recovery
+    int m = 0;
+    if (a[1] > a[m]) m = 1;
+    if (a[2] > a[m]) m = 2;
+    if (m == 0) {
+      a[1] = std::copysign(a[1], e[0 * 3 + 1] + e[1 * 3 + 0]);
+      a[2] = std::copysign(a[2], e[0 * 3 + 2] + e[2 * 3 + 0]);
+    } else if (m == 1) {
+      a[0] = std::copysign(a[0], e[0 * 3 + 1] + e[1 * 3 + 0]);
+      a[2] = std::copysign(a[2], e[1 * 3 + 2] + e[2 * 3 + 1]);
+    } else {
+      a[0] = std::copysign(a[0], e[0 * 3 + 2] + e[2 * 3 + 0]);
+      a[1] = std::copysign(a[1], e[1 * 3 + 2] + e[2 * 3 + 1]);
+    }
+    const double n = std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+    const double kk = (n > 0) ? ang / n : 0.0;
+    w3[0] = kk * a[0];
+    w3[1] = kk * a[1];
+    w3[2] = kk * a[2];
+    return;
+  }
   const double axis[3] = {e[5] - e[7], e[6] - e[2], e[1] - e[3]};
-  const double s = 2.0 * std::sin(ang);
-  const double k = (std::fabs(ang) < 1e-9) ? 0.5 : ang / s;
+  const double k = ang / (2.0 * std::sin(ang));
   w3[0] = k * axis[0];
   w3[1] = k * axis[1];
   w3[2] = k * axis[2];

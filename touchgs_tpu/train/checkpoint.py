@@ -49,13 +49,21 @@ def restore_trainer(trainer, mgr: "CheckpointManager",
                     step: Optional[int] = None) -> None:
     """Restore ``trainer.state`` from ``mgr``, growing the template first if
     the checkpoint was saved at a larger progressive capacity (the normal
-    case after any densify-driven growth — a fresh Trainer starts small)."""
-    from touchgs_tpu.train.trainer import grow_state
+    case after any densify-driven growth — a fresh Trainer starts small).
+    Also restores host-side trainer knobs from the sidecar: an escalated
+    truncation-guard k_tile would otherwise silently revert to the config
+    cap on resume and train lossy again (r4 review finding)."""
+    from touchgs_tpu.train.trainer import grow_state, make_train_step
 
     cap = mgr.saved_capacity(step)
     if cap is not None and cap > trainer.state.params.capacity:
         trainer.state = grow_state(trainer.state, cap)
     trainer.state = mgr.restore(trainer.state, step)
+    k_tile = mgr.saved_extra(step).get("k_tile")
+    if k_tile and k_tile != trainer._k_tile:
+        trainer._k_tile = int(k_tile)
+        trainer.train_step = make_train_step(
+            trainer.cfg, trainer.optimizer, k_tile=trainer._k_tile)
 
 
 def make_run_dir(output_root: str | Path, scene_name: str) -> Path:
@@ -103,16 +111,20 @@ class CheckpointManager:
                 json.dumps(_config_to_jsonable(cfg), indent=2, default=str)
             )
 
-    def save(self, step: int, state) -> None:
+    def save(self, step: int, state, extra: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
-        # sidecar capacity index: restore() needs a template whose leaves
+        # sidecar per-step index: restore() needs a template whose leaves
         # match the SAVED shapes, but progressive capacity growth
         # (trainer.grow_capacity) means a fresh Trainer's arrays are usually
-        # smaller than what was saved — record capacity per step so
-        # restore_trainer() can grow the template first
+        # smaller than what was saved — record capacity (and host-side
+        # trainer knobs like the escalated k_tile) per step so
+        # restore_trainer() can rebuild the exact training configuration
         cap = getattr(getattr(state, "params", None), "capacity", None)
-        if cap is not None:
+        if cap is not None or extra:
+            entry = dict(extra or {})
+            if cap is not None:
+                entry["capacity"] = int(cap)
             idx_path = self.run_dir / "capacities.json"
             idx = {}
             if idx_path.exists():
@@ -120,29 +132,47 @@ class CheckpointManager:
                     idx = json.loads(idx_path.read_text())
                 except (OSError, json.JSONDecodeError):
                     idx = {}
-            idx[str(step)] = int(cap)
+            idx[str(step)] = entry
             idx_path.write_text(json.dumps(idx))
+
+    def _sidecar_entry(self, step: Optional[int]) -> dict:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return {}
+        idx_path = self.run_dir / "capacities.json"
+        if not idx_path.exists():
+            return {}
+        try:
+            entry = json.loads(idx_path.read_text()).get(str(step))
+        except (OSError, json.JSONDecodeError):
+            return {}
+        if isinstance(entry, dict):
+            return entry
+        if entry:  # pre-r4.1 format: bare capacity int
+            return {"capacity": int(entry)}
+        return {}
 
     def saved_capacity(self, step: Optional[int] = None) -> Optional[int]:
         """Capacity of the Gaussian arrays in the checkpoint at ``step``
         (sidecar index first, orbax array metadata as fallback for runs
         saved before the sidecar existed)."""
+        cap = self._sidecar_entry(step).get("capacity")
+        if cap:
+            return int(cap)
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
-        idx_path = self.run_dir / "capacities.json"
-        if idx_path.exists():
-            try:
-                cap = json.loads(idx_path.read_text()).get(str(step))
-                if cap:
-                    return int(cap)
-            except (OSError, json.JSONDecodeError):
-                pass
         try:
             meta = self._mgr.item_metadata(step)
             return int(_find_leading_dim(meta, "means"))
         except Exception:
             return None
+
+    def saved_extra(self, step: Optional[int] = None) -> dict:
+        """Host-side trainer knobs recorded alongside the checkpoint
+        (e.g. the truncation-guard's escalated k_tile)."""
+        return {k: v for k, v in self._sidecar_entry(step).items()
+                if k != "capacity"}
 
     def restore(self, state_like, step: Optional[int] = None):
         step = self._mgr.latest_step() if step is None else step

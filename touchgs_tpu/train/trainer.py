@@ -370,7 +370,8 @@ class Trainer:
             if ckpt_manager is not None and (
                 (step + 1) % cfg.checkpoint_every == 0 or step == steps - 1
             ):
-                ckpt_manager.save(step + 1, self.state)
+                extra = {"k_tile": self._k_tile} if self._k_tile else None
+                ckpt_manager.save(step + 1, self.state, extra=extra)
         return last_metrics
 
     def render_view(self, view_idx: int, use_dense: bool = False):
