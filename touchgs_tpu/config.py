@@ -45,6 +45,12 @@ class RasterizeConfig:
                                # early-exit there anyway).  Truncation is
                                # front-biased (nearest-first) and reported by
                                # bench.py as the dropped-pair fraction.
+    k_tile_max_train: int = 8192  # ceiling for the trainer's truncation-guard
+                               # escalation — same bound eval's
+                               # render_lossless uses, so a scene whose tiles
+                               # legitimately need >2048 entries trains
+                               # lossless too (r4 verdict: the old hard 2048
+                               # cap silently kept such scenes lossy forever)
     alpha_clip: float = 0.999  # max per-gaussian alpha (gsplat convention)
     alpha_threshold: float = 1.0 / 255.0  # skip contributions below this
     sigma_cutoff: float = 3.0  # radius cutoff in standard deviations
@@ -72,6 +78,14 @@ class DepthLossConfig:
     depth_loss_mult: float = 0.2
     depth_loss_type: DepthLossType = DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS
     uncertainty_weight: float = 1.0
+    # weighting form for DEPTH_UNCERTAINTY_WEIGHTED_LOSS (the fork's exact
+    # formula is not in the checkout — empty submodule).  Candidates A/B'd on
+    # the hard scene (RESULTS_r05.md; models/splatfacto.py docstring):
+    #   "inv_sq": w = 1/(1 + uw·σ²)   — inverse-variance-style, default
+    #   "inv":    w = 1/(1 + uw·σ)    — the fusion stage's inverse-σ
+    #                                   convention (fuse_touch_vision.py:124)
+    #   "exp":    w = exp(−uw·σ)      — exponential down-weighting
+    uncertainty_form: str = "inv_sq"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,7 +160,14 @@ def depth_supervision_loss(
         cfg.depth_loss_type is DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS
         and uncertainty is not None
     ):
-        w = 1.0 / (1.0 + cfg.uncertainty_weight * uncertainty**2)
+        # candidate forms A/B'd on the hard scene (see DepthLossConfig and
+        # RESULTS_r05.md); all reduce to SIMPLE_LOSS as uncertainty_weight→0
+        if cfg.uncertainty_form == "inv":
+            w = 1.0 / (1.0 + cfg.uncertainty_weight * uncertainty)
+        elif cfg.uncertainty_form == "exp":
+            w = jnp.exp(-cfg.uncertainty_weight * uncertainty)
+        else:  # "inv_sq" (default)
+            w = 1.0 / (1.0 + cfg.uncertainty_weight * uncertainty**2)
         residual = residual * w
     residual = jnp.where(valid, residual, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)

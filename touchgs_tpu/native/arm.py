@@ -111,6 +111,11 @@ class CompliantArm:
         return out
 
     def close(self):
+        # The C++ Sim keeps a raw Arm*: destroying the arm while a sim is
+        # alive would leave it dangling (use-after-free on the next step).
+        # Close dependent sims first so teardown order never matters.
+        for sim in list(getattr(self, "_sims", ())):
+            sim.close()
         if self._h:
             self._lib.tgs_arm_destroy(self._h)
             self._h = None
@@ -137,6 +142,10 @@ class ArmSim:
                                            damping, plane_z, k_contact)
         if not self._h:
             raise ValueError("tgs_sim_create failed (arm handle invalid?)")
+        if not hasattr(arm, "_sims"):
+            import weakref
+            arm._sims = weakref.WeakSet()
+        arm._sims.add(self)
 
     def state(self):
         q = np.empty(self.arm.n, np.float64)

@@ -350,8 +350,16 @@ int tgs_sim_step_guarded(void* s, const double* dir3, double speed,
     // approach: advance the commanded pose along dir at `speed`
     for (int k = 0; k < 3; ++k) sim->cmd_pose[12 + k] += dir3[k] * speed * dt;
   } else {
-    // force hold: proportional force loop moves the setpoint along dir
-    const double kf = 0.5 / (stiff6[0] > 0 ? stiff6[0] : 1.0);
+    // force hold: proportional force loop moves the setpoint along dir.
+    // The loop gain must invert the Cartesian stiffness AS SEEN ALONG the
+    // approach direction — with anisotropic stiffness, k_dir = Σ k_i·d_i²
+    // (dir3 is expected unit-norm; normalize defensively).
+    double d2 = dir3[0] * dir3[0] + dir3[1] * dir3[1] + dir3[2] * dir3[2];
+    if (d2 <= 0) d2 = 1.0;
+    double k_dir = (stiff6[0] * dir3[0] * dir3[0] +
+                    stiff6[1] * dir3[1] * dir3[1] +
+                    stiff6[2] * dir3[2] * dir3[2]) / d2;
+    const double kf = 0.5 / (k_dir > 0 ? k_dir : 1.0);
     const double e = f_stop - f_along;
     for (int k = 0; k < 3; ++k) sim->cmd_pose[12 + k] += dir3[k] * kf * e;
   }

@@ -19,7 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from touchgs_tpu.config import TrainConfig
 from touchgs_tpu.data.cameras import Camera
-from touchgs_tpu.models.densify import DensifyState, update_stats
+from touchgs_tpu.models.densify import (
+    DensifyState,
+    refine,
+    reset_opacities,
+    update_stats,
+)
 from touchgs_tpu.models.gaussians import GaussianParams
 from touchgs_tpu.models.splatfacto import compute_losses, render
 from touchgs_tpu.train.optim import make_optimizer
@@ -108,7 +113,13 @@ def make_multiscene_train_step(
             totals, aux = jax.vmap(scene_loss)(
                 params, cameras, images, depths, uncs, offsets
             )
-            return jnp.mean(totals), aux
+            # SUM, not mean: scenes are independent, so d(sum)/d(scene_s
+            # params) = d(total_s) — each scene trains exactly as if alone
+            # (1-vs-N parity with the single-scene step) and, critically,
+            # the screen-space grads feeding densify keep their absolute
+            # units (grad_threshold = 0.0002 is an absolute number; a mean
+            # would shrink them by 1/S and silently stall densification)
+            return jnp.sum(totals), aux
 
         diff = _diff_params(state.params)
         offsets0 = jnp.zeros((S, C, 2), jnp.float32)
@@ -130,10 +141,133 @@ def make_multiscene_train_step(
         )(state.densify, screen_grads, radii, valid)
         new_state = TrainState(params=params, opt_state=opt_state,
                                densify=densify, step=state.step + 1)
-        metrics = {"loss": loss, "psnr_per_scene": psnrs}
+        metrics = {"loss": loss / S, "psnr_per_scene": psnrs}
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _reset_opt_slots_multiscene(opt_state, touched: jnp.ndarray, S: int,
+                                C: int):
+    """Zero Adam moments at (re)written slots, per scene — the multi-scene
+    analogue of ``train.optim.reset_opt_slots`` (leaves with a leading
+    (S, C) block are masked by the (S, C) touched mask; the shared step
+    counter and any replicated leaf pass through untouched)."""
+
+    def maybe_zero(leaf):
+        if (hasattr(leaf, "shape") and leaf.ndim >= 2
+                and leaf.shape[:2] == (S, C)):
+            mask = touched.reshape((S, C) + (1,) * (leaf.ndim - 2))
+            return jnp.where(mask, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree.map(maybe_zero, opt_state)
+
+
+def make_multiscene_refine_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
+    """Jitted per-scene densify/clone/split/prune over the scene axis.
+
+    ``refine`` (models/densify.py) is pure and shape-static, so the
+    multi-scene version is exactly ``vmap(refine)`` with an independent PRNG
+    key per scene, followed by a per-scene Adam-moment reset at touched
+    slots.  The schedule flags are static args, same as the single-scene
+    ``make_refine_step`` — the host drives them from the (shared) step
+    counter.  Without this, multi-scene runs trained frozen per-scene point
+    counts (VERDICT r4: the only capability hole left).
+    """
+
+    def constrain(tree):
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("data", "model"))
+            ) if (hasattr(a, "ndim") and a.ndim >= 2) else a,
+            tree,
+        )
+
+    def refine_fn(state: TrainState, keys, do_densify=True,
+                  use_size_cull=True, use_screen_size=False):
+        S, C = state.params.means.shape[:2]
+        params, densify, touched = jax.vmap(
+            lambda p, d, k: refine(p, d, k, cfg.densify,
+                                   do_densify=do_densify,
+                                   use_size_cull=use_size_cull,
+                                   use_screen_size=use_screen_size)
+        )(state.params, state.densify, keys)
+        params = constrain(params)
+        opt_state = _reset_opt_slots_multiscene(state.opt_state, touched, S, C)
+        return dataclasses.replace(
+            state, params=params, opt_state=opt_state, densify=densify
+        )
+
+    return jax.jit(refine_fn, donate_argnums=(0,), static_argnums=(2, 3, 4))
+
+
+def make_multiscene_reset_opacity_step(cfg: TrainConfig):
+    def reset_fn(state: TrainState):
+        # elementwise — the stacked (S, C) params need no vmap
+        params = reset_opacities(state.params, cfg.densify.reset_opacity_value)
+        return dataclasses.replace(state, params=params)
+
+    return jax.jit(reset_fn, donate_argnums=(0,))
+
+
+def run_multiscene(
+    state: TrainState,
+    cfg: TrainConfig,
+    step_fn: Callable,
+    batch_fn: Callable[[int, np.random.Generator], tuple],
+    steps: int,
+    refine_fn: Optional[Callable] = None,
+    reset_fn: Optional[Callable] = None,
+    n_train_views: int = 8,
+    log_fn: Optional[Callable[[dict], None]] = None,
+    mesh: Optional[Mesh] = None,
+) -> tuple[TrainState, dict]:
+    """Drive S scenes through the single-scene training schedule.
+
+    The same host-side schedule as ``Trainer.run`` (SH warmup handled by the
+    caller's ``batch_fn`` contract; densify warmup/window/pause, periodic
+    opacity reset) applied to the batched step/refine/reset functions —
+    every scene refines at the same step boundaries, each with its own PRNG
+    stream and its own gradient statistics.
+    """
+    if refine_fn is None:
+        refine_fn = make_multiscene_refine_step(cfg, mesh=mesh)
+    if reset_fn is None:
+        reset_fn = make_multiscene_reset_opacity_step(cfg)
+    S = state.params.means.shape[0]
+    dcfg = cfg.densify
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    metrics = {}
+    for step in range(steps):
+        args = batch_fn(step, rng)
+        state, metrics = step_fn(state, *args)
+        if (
+            dcfg.warmup_steps <= step < dcfg.stop_refine_at
+            and step % dcfg.refine_every == 0
+            and step > 0
+        ):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, S)
+            pause = min(n_train_views + dcfg.refine_every,
+                        dcfg.reset_opacity_every // 2)
+            do_densify = (step % dcfg.reset_opacity_every) > pause
+            state = refine_fn(state, keys, do_densify,
+                              step > dcfg.reset_opacity_every,
+                              step < dcfg.stop_screen_size_at)
+        if (step > 0 and step % dcfg.reset_opacity_every == 0
+                and step < dcfg.stop_refine_at):
+            state = reset_fn(state)
+        if log_fn and (step % cfg.log_every == 0 or step == steps - 1):
+            out = {k: np.asarray(v).tolist() for k, v in metrics.items()}
+            out["step"] = step
+            out["alive_per_scene"] = np.asarray(
+                jnp.sum(state.params.alive, axis=-1)).tolist()
+            log_fn(out)
+    return state, metrics
 
 
 def multiscene_shardings(mesh: Mesh, state: TrainState):

@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import json
+import os
+import warnings
 from pathlib import Path
 from typing import Optional
 
@@ -59,6 +61,18 @@ def restore_trainer(trainer, mgr: "CheckpointManager",
     if cap is not None and cap > trainer.state.params.capacity:
         trainer.state = grow_state(trainer.state, cap)
     trainer.state = mgr.restore(trainer.state, step)
+    if mgr.saved_extra(step).get("densify_units") != "normalized":
+        # checkpoint predates the pixel→normalized max_radii unit change
+        # (r4): pixel-unit radii fed into the normalized screen-size gates
+        # would mass-cull live gaussians on the first refine.  Zeroing the
+        # accumulated radii is safe — they rebuild within one refine window.
+        trainer.state = dataclasses.replace(
+            trainer.state,
+            densify=dataclasses.replace(
+                trainer.state.densify,
+                max_radii=jax.numpy.zeros_like(trainer.state.densify.max_radii),
+            ),
+        )
     k_tile = mgr.saved_extra(step).get("k_tile")
     if k_tile and k_tile != trainer._k_tile:
         trainer._k_tile = int(k_tile)
@@ -123,6 +137,9 @@ class CheckpointManager:
         cap = getattr(getattr(state, "params", None), "capacity", None)
         if cap is not None or extra:
             entry = dict(extra or {})
+            # stats-unit version marker: restore_trainer zeroes max_radii for
+            # checkpoints that predate the normalized-unit densify stats
+            entry.setdefault("densify_units", "normalized")
             if cap is not None:
                 entry["capacity"] = int(cap)
             idx_path = self.run_dir / "capacities.json"
@@ -131,9 +148,18 @@ class CheckpointManager:
                 try:
                     idx = json.loads(idx_path.read_text())
                 except (OSError, json.JSONDecodeError):
+                    warnings.warn(
+                        f"corrupt sidecar {idx_path}; rebuilding from this "
+                        "step (earlier steps lose their k_tile/capacity "
+                        "extras)")
                     idx = {}
             idx[str(step)] = entry
-            idx_path.write_text(json.dumps(idx))
+            # atomic replace: a crash mid-write must not corrupt the index
+            # (saved_extra would silently lose the escalated k_tile and a
+            # resumed run would train lossy again)
+            tmp = idx_path.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(idx))
+            os.replace(tmp, idx_path)
 
     def _sidecar_entry(self, step: Optional[int]) -> dict:
         step = self._mgr.latest_step() if step is None else step
@@ -145,6 +171,9 @@ class CheckpointManager:
         try:
             entry = json.loads(idx_path.read_text()).get(str(step))
         except (OSError, json.JSONDecodeError):
+            warnings.warn(
+                f"sidecar {idx_path} exists but failed to parse — restored "
+                "run may lose host-side knobs (escalated k_tile)")
             return {}
         if isinstance(entry, dict):
             return entry
