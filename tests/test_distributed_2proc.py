@@ -101,15 +101,50 @@ dep = jnp.asarray(rng.uniform(1, 3, (H, W)), jnp.float32)
 unc = jnp.ones((H, W), jnp.float32)
 
 step = make_sharded_train_step(cfg, mesh, opt)
-new_state, metrics = step(state, cam, img, dep, unc, jnp.int32(1))
-jax.block_until_ready(metrics)
+
+# collective census of the compiled cross-process step (recorded in
+# SCALING_r05.md): the per-Gaussian grad reduction must compile to
+# reduce-scatter, not a plain all-reduce
+hlo = step.lower(state, cam, img, dep, unc, jnp.int32(1)).compile().as_text()
+census = {name: hlo.count(name + "(")
+          for name in ("reduce-scatter", "all-gather", "all-reduce",
+                       "collective-permute")}
+assert census["reduce-scatter"] >= 1, census
+
+# MULTIPLE steps across the cluster, loss finite at every one
 from jax.experimental import multihost_utils
-loss = float(multihost_utils.process_allgather(
-    metrics["loss"], tiled=True).ravel()[0])
-assert np.isfinite(loss), loss
+losses = []
+for _ in range(3):
+    state, metrics = step(state, cam, img, dep, unc, jnp.int32(1))
+    losses.append(float(multihost_utils.process_allgather(
+        metrics["loss"], tiled=True).ravel()[0]))
+assert all(np.isfinite(l) for l in losses), losses
+loss = losses[-1]
+
+# checkpoint save/restore ROUND-TRIP under the sharded state: orbax
+# coordinates the multiprocess write (every process saves its shards);
+# restore into the live sharded template must reproduce every leaf
+import orbax.checkpoint as ocp
+ckpt_dir = os.environ["TGS_CKPT_DIR"]
+mgr = ocp.CheckpointManager(ckpt_dir)
+mgr.save(3, args=ocp.args.StandardSave(state))
+mgr.wait_until_finished()
+template = jax.tree.map(jnp.zeros_like, state)
+restored = mgr.restore(3, args=ocp.args.StandardRestore(template))
+mgr.close()
+for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+    np.testing.assert_array_equal(
+        np.asarray(multihost_utils.process_allgather(got, tiled=True)),
+        np.asarray(multihost_utils.process_allgather(want, tiled=True)))
+# and the restored state trains on
+state2, metrics2 = step(restored, cam, img, dep, unc, jnp.int32(1))
+loss2 = float(multihost_utils.process_allgather(
+    metrics2["loss"], tiled=True).ravel()[0])
+assert np.isfinite(loss2), loss2
 
 print(f"OK pid={jax.process_index()} total={t} slice={list(sl)} "
-      f"loss={loss:.4f}", flush=True)
+      f"losses={['%%.4f' %% l for l in losses]} resumed_loss={loss2:.4f} "
+      f"census={census}", flush=True)
 """ % {"repo": _REPO}
 
 
@@ -121,7 +156,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cluster_reduces_globally():
+def test_two_process_cluster_reduces_globally(tmp_path):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -129,7 +164,8 @@ def test_two_process_cluster_reduces_globally():
         env.pop("XLA_FLAGS", None)
         env.update(COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
                    NUM_PROCESSES="2", PROCESS_ID=str(pid),
-                   JAX_PLATFORMS="cpu")
+                   JAX_PLATFORMS="cpu",
+                   TGS_CKPT_DIR=str(tmp_path / "ckpt"))
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _WORKER], env=env, cwd=_REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))

@@ -55,6 +55,19 @@ def main():
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--touch-patches", type=int, default=30)
     ap.add_argument("--patch-radius", type=float, default=0.09)
+    ap.add_argument("--sh-degree", type=int, default=2,
+                    help="SH degree for both arms (0 = the view-dependence "
+                         "ablation row, VERDICT r4 #4)")
+    ap.add_argument("--unc-form", default="inv_sq",
+                    choices=["inv_sq", "inv", "exp"],
+                    help="uncertainty weighting form for arm A "
+                         "(DepthLossConfig.uncertainty_form A/B)")
+    ap.add_argument("--no-gpis", action="store_true",
+                    help="legacy r4 mode: raw patch-only touch depth instead "
+                         "of GPIS-interpolated depth+variance")
+    ap.add_argument("--gpis-max-points", type=int, default=512)
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="run only arm A (ablation rows)")
     ap.add_argument("--out", default="RESULTS_hard_scene.md")
     args = ap.parse_args()
 
@@ -122,7 +135,8 @@ def main():
     bp = jax.jit(backproject_depth, static_argnames=())
     intr = (float(cams[0].fx), float(cams[0].fy),
             float(cams[0].cx), float(cams[0].cy))
-    vision, touch, touch_sig, grounded, sphere_masks = [], [], [], [], []
+    vision, grounded, sphere_masks, in_patches = [], [], [], []
+    contact_pts = []
     for v, cam in enumerate(cams):
         gt_d = depths[v]
         pl_d = plane_depths[v]
@@ -133,24 +147,65 @@ def main():
         vis = np.where(sph, pl_d, gt_d)
         vis = vis / 0.97 - 0.02 + rng.normal(0, 0.01, gt_d.shape)
         vis = np.where(gt_d > 0, np.maximum(vis, 0.0), 0.0)
-        # touch: accurate inside contact patches on the sphere
+        # touch contact patches on the sphere (the DenseTact's footprint)
         pts, _, valid = bp(jnp.asarray(gt_d), jnp.asarray(images[v]),
                            intr, jnp.asarray(np.asarray(cam.c2w)))
         pts = np.asarray(pts).reshape(H, W, 3)
         d2 = ((pts[None, :, :, :] - centers[:, None, None, :]) ** 2).sum(-1)
         in_patch = (d2.min(axis=0) < args.patch_radius ** 2) & sph
-        t_d = np.where(in_patch, gt_d, 0.0)
-        t_s = np.where(in_patch, 0.05, 0.0)          # GPIS sigma in-patch
+        contact_pts.append(pts[in_patch])
         # grounded sparse anchor (RealSense-class): GT + noise; fusion
         # sparsifies it to 1% itself
         gnd = np.where(gt_d > 0, gt_d + rng.normal(0, 0.01, gt_d.shape), 0.0)
-        vision.append(vis); touch.append(t_d); touch_sig.append(t_s)
-        grounded.append(gnd); sphere_masks.append(sph)
-    vision, touch = np.stack(vision), np.stack(touch)
-    touch_sig, grounded = np.stack(touch_sig), np.stack(grounded)
+        vision.append(vis); grounded.append(gnd)
+        sphere_masks.append(sph); in_patches.append(in_patch)
+    vision, grounded = np.stack(vision), np.stack(grounded)
     sphere_masks = np.stack(sphere_masks)
+    in_patches = np.stack(in_patches)
+
+    if args.no_gpis:
+        # legacy r4 construction: raw per-pixel touch depth inside patches,
+        # constant sigma, nothing between patches
+        touch = np.where(in_patches, depths, 0.0)
+        touch_sig = np.where(in_patches, 0.05, 0.0)
+    else:
+        # the REAL reference pipeline (SURVEY §2.8): fit the GPIS to the
+        # contact points and ray-march per-view DENSE depth + variance maps
+        # (gpis_depth/gpis_var contract) — the GP interpolates BETWEEN
+        # contact patches with calibrated, growing variance, which is the
+        # paper's core machinery and what the r4 patch-only harness left out
+        from touchgs_tpu.touch.gpis import fit_gpis, render_depth_var
+
+        all_contacts = np.concatenate(contact_pts)
+        # exact contact normals (sphere at origin): the DenseTact senses the
+        # local surface orientation at each press
+        t0g = time.time()
+        g = fit_gpis(all_contacts,
+                     normals=all_contacts / np.linalg.norm(
+                         all_contacts, axis=1, keepdims=True),
+                     lengthscale=1.2 * args.patch_radius,
+                     off_surface_eps=0.03,
+                     max_points=args.gpis_max_points, seed=0)
+        sph_d = depths[sphere_masks]
+        near, far = float(sph_d.min()) - 0.15, float(sph_d.max()) + 0.15
+        touch, touch_sig = [], []
+        for v, cam in enumerate(cams):
+            dep, var = render_depth_var(g, cam, near=near, far=far,
+                                        n_samples=96, pixel_chunk=4096)
+            dep = np.nan_to_num(np.asarray(dep), nan=0.0)
+            var = np.nan_to_num(np.asarray(var), nan=0.0)
+            # gpis_var is consumed as the touch uncertainty map exactly as
+            # the reference loads touch_var (sigma-not-sigma^2 quirk kept,
+            # utils/fuse_touch_vision.py:116-126)
+            touch.append(np.where(dep > 0, dep, 0.0))
+            touch_sig.append(np.where(dep > 0, np.maximum(var, 1e-4), 0.0))
+        touch, touch_sig = np.stack(touch), np.stack(touch_sig)
+        print(f"GPIS: {len(all_contacts)} contacts -> "
+              f"{args.gpis_max_points} pts, {args.views} views rendered in "
+              f"{time.time() - t0g:.1f}s", flush=True)
     print(f"touch coverage of sphere pixels: "
-          f"{(touch > 0).sum() / max(sphere_masks.sum(), 1):.1%}", flush=True)
+          f"{(touch[sphere_masks] > 0).sum() / max(sphere_masks.sum(), 1):.1%}",
+          flush=True)
 
     # --- the real fusion pipeline, per view --------------------------------
     print("fusing views (two-stage align + Bayesian fusion)...", flush=True)
@@ -203,7 +258,8 @@ def main():
                       name=f"hard_{tag}")
         cfg = TrainConfig(
             max_steps=args.steps,
-            model=ModelConfig(max_gaussians=args.capacity, sh_degree=2,
+            model=ModelConfig(max_gaussians=args.capacity,
+                              sh_degree=args.sh_degree,
                               rasterize=RasterizeConfig(use_pallas=on_tpu)),
             depth=loss_cfg,
             densify=DensifyConfig(warmup_steps=300, refine_every=100,
@@ -225,7 +281,7 @@ def main():
         from PIL import Image
         for i in i_eval:
             out = render_lossless(tr.state.params, cameras.at(int(i)),
-                                  cfg.model, active_sh_degree=2)
+                                  cfg.model, active_sh_degree=args.sh_degree)
             r = np.asarray(out.rgb)
             Image.fromarray((np.concatenate([r, images[i]], axis=1)
                              .clip(0, 1) * 255).astype(np.uint8)).save(
@@ -247,9 +303,13 @@ def main():
 
     # mirror preset hyperparameters (SURVEY §2.1: 0.2 / UNCERT / 1.0)
     a = run("touchgs", fused_d, fused_u, seeds_a, cols_a,
-            DepthLossConfig(0.2, DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS, 1.0))
-    b = run("vision_only", dsgs_d, np.zeros_like(fused_u), seeds_b, cols_b,
-            DepthLossConfig(0.2, DepthLossType.SIMPLE_LOSS, 0.0))
+            DepthLossConfig(0.2, DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS,
+                            1.0, uncertainty_form=args.unc_form))
+    if args.skip_baseline:
+        b = dict(a, tag="(baseline skipped)")
+    else:
+        b = run("vision_only", dsgs_d, np.zeros_like(fused_u), seeds_b, cols_b,
+                DepthLossConfig(0.2, DepthLossType.SIMPLE_LOSS, 0.0))
 
     md = Path(args.out)
     md.write_text(f"""# RESULTS — hard scene (touch-dominant, vision-unreliable)
@@ -261,6 +321,9 @@ covers {(touch > 0).sum() / max(sphere_masks.sum(), 1):.0%} of sphere pixels
 in {args.touch_patches} contact patches, fused end-to-end by
 `touch/fusion.py::fuse_view`.  {args.views} views at {W}x{H},
 {args.steps} steps, capacity {args.capacity}, on {dev.device_kind}.
+Touch mode: {"raw patch-only (legacy)" if args.no_gpis else
+             f"GPIS-interpolated depth+variance ({args.gpis_max_points} pts)"};
+sh_degree {args.sh_degree}; uncertainty form {args.unc_form}.
 
 | config | depth supervision | seeds | eval PSNR | depth MAE | OBJECT depth MAE |
 |---|---|---|---|---|---|

