@@ -40,9 +40,9 @@ REFERENCE_ITERS_PER_SEC = 20.0  # A100 splatfacto proxy (see module docstring)
 WIDTH, HEIGHT = 800, 800
 N_GAUSSIANS = 100_000
 CAPACITY = 131_072
-WARMUP_STEPS = 3
-TIMED_STEPS = 30
-CHUNK = 5
+WARMUP_STEPS = 5
+TIMED_STEPS = 40
+CHUNK = 10  # window size; headline = MEDIAN window rate (see timed loop)
 
 START = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
@@ -212,18 +212,19 @@ def roofline_report(cfg, state, cam, dt_per_step):
         jnp.minimum(bins.tile_counts, k_tile), n_tiles, k_tile,
         proj.means2d.shape[0], False)
     attrs_tiled = attrs[gidx]
-    nc = ((jnp.minimum(bins.tile_counts, k_tile) + 127) // 128
+    kc = rcfg.k_chunk
+    nc = ((jnp.minimum(bins.tile_counts, k_tile) + kc - 1) // kc
           ).astype(jnp.int32)
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
 
     @jax.jit
     def fwd_kernel(at):
-        return rp._forward_tiles(nc, tids, at, th, tw, k_tile, 128,
+        return rp._forward_tiles(nc, tids, at, th, tw, k_tile, kc,
                                  bins.n_tiles_x, rcfg, False)
 
     fwd_stack = fwd_kernel(attrs_tiled)
     done = np.asarray(fwd_stack[:, rp._ROW_DONE, 0], dtype=np.int64)
-    scanned = int(done.sum()) * 128
+    scanned = int(done.sum()) * kc
     # lossy truncation: tiles whose list was capped AND ≥10% of whose pixels
     # were still unsaturated when the scan ended (same statistic as the
     # in-graph telemetry in rasterize_pallas.py)
@@ -235,7 +236,7 @@ def roofline_report(cfg, state, cam, dt_per_step):
     def bwd_kernel(at, fs, gs):
         d = fs[:, rp._ROW_DONE, 0].astype(jnp.int32)
         return rp._backward_tiles(d, tids, at, fs, gs, th, tw, k_tile,
-                                  128, bins.n_tiles_x, rcfg, False)
+                                  kc, bins.n_tiles_x, rcfg, False)
 
     @jax.jit
     def fwd_only(p):
@@ -313,21 +314,28 @@ def main():
         state, metrics = step(state, cam, image, depth, unc, sh)
     jax.block_until_ready(metrics)
 
-    # timed loop in chunks: every chunk refreshes the shared headline so the
-    # watchdog always has the freshest rate to emit
+    # timed loop in fixed windows; every window ends in a FORCED host sync
+    # (float() on the loss — r5 finding: block_until_ready can return
+    # without waiting through the axon tunnel, and tunnel jitter makes
+    # single-window averages noisy by ±10%).  The headline is the MEDIAN
+    # window rate: robust to a one-off tunnel hiccup, not a cherry-picked
+    # best.  Each window's rate still includes its own sync RTT.
     done_steps = 0
-    t0 = time.time()
+    window_rates = []
     while done_steps < TIMED_STEPS:
         n = min(CHUNK, TIMED_STEPS - done_steps)
+        tw0 = time.time()
         for _ in range(n):
             state, metrics = step(state, cam, image, depth, unc, sh)
-        jax.block_until_ready(metrics)
+        _ = float(metrics["loss"])
+        window_rates.append(n / (time.time() - tw0))
         done_steps += n
-        rate = done_steps / (time.time() - t0)
+        rate = float(np.median(window_rates))
         set_headline(rate, None if done_steps >= TIMED_STEPS
                      else f"partial_{done_steps}_steps")
-    dt = time.time() - t0
-    iters_per_sec = TIMED_STEPS / dt
+    dt = TIMED_STEPS / float(np.median(window_rates))
+    iters_per_sec = float(np.median(window_rates))
+    log(f"window rates: {[round(r, 2) for r in window_rates]} it/s")
     mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
     log(f"{TIMED_STEPS} steps in {dt:.2f}s -> {iters_per_sec:.2f} it/s, "
         f"{mpix_per_sec:.1f} Mpix/s rasterized (fwd+bwd), "

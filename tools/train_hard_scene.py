@@ -191,7 +191,7 @@ def main():
         touch, touch_sig = [], []
         for v, cam in enumerate(cams):
             dep, var = render_depth_var(g, cam, near=near, far=far,
-                                        n_samples=96, pixel_chunk=4096)
+                                        n_samples=96, pixel_chunk=1024)
             dep = np.nan_to_num(np.asarray(dep), nan=0.0)
             var = np.nan_to_num(np.asarray(var), nan=0.0)
             # gpis_var is consumed as the touch uncertainty map exactly as

@@ -45,6 +45,16 @@ class RasterizeConfig:
                                # early-exit there anyway).  Truncation is
                                # front-biased (nearest-first) and reported by
                                # bench.py as the dropped-pair fraction.
+    k_chunk: int = 64          # gaussians per Pallas scan step.  Finer chunks
+                               # tighten the 2-chunk-stale early-exit lag and
+                               # the backward's done-count quantization;
+                               # coarser amortize per-chunk overhead.  Full-
+                               # step sweep on v5e at 800²/100k (r5):
+                               # 32→25.7, 64→25.3, 128→27.0, 256→29.4 ms —
+                               # 64 wins.  Must divide 128 (the slot-list
+                               # DMA lane alignment): k_tile is rounded up
+                               # to a k_chunk multiple and the roll vector
+                               # must stay 128-aligned (96 fails Mosaic)
     k_tile_max_train: int = 8192  # ceiling for the trainer's truncation-guard
                                # escalation — same bound eval's
                                # render_lossless uses, so a scene whose tiles

@@ -89,7 +89,7 @@ def render(
 
         out = rasterize_pallas(
             proj, colors, opacities, camera.width, camera.height, rcfg,
-            background=bg, k_tile=k_tile,
+            background=bg, k_tile=k_tile, k_chunk=rcfg.k_chunk,
             interpret=jax.default_backend() == "cpu",
             tile_shards=tile_shards, tile_pspec=tile_pspec,
             gaussian_pspec=gaussian_pspec,
