@@ -180,18 +180,23 @@ def main():
         # exact contact normals (sphere at origin): the DenseTact senses the
         # local surface orientation at each press
         t0g = time.time()
+        # lengthscale 2×patch radius: the CPU sweep (r5) put inter-patch
+        # interpolation error at median 0.9 cm / mean 5.8 cm vs 15 cm at
+        # 1.2× — the GP needs reach comparable to the patch GAPS, not the
+        # patch size
         g = fit_gpis(all_contacts,
                      normals=all_contacts / np.linalg.norm(
                          all_contacts, axis=1, keepdims=True),
-                     lengthscale=1.2 * args.patch_radius,
-                     off_surface_eps=0.03,
+                     lengthscale=2.0 * args.patch_radius,
+                     off_surface_eps=0.05,
                      max_points=args.gpis_max_points, seed=0)
         sph_d = depths[sphere_masks]
         near, far = float(sph_d.min()) - 0.15, float(sph_d.max()) + 0.15
         touch, touch_sig = [], []
         for v, cam in enumerate(cams):
             dep, var = render_depth_var(g, cam, near=near, far=far,
-                                        n_samples=96, pixel_chunk=1024)
+                                        n_samples=96, pixel_chunk=1024,
+                                        support_var_frac=0.3)
             dep = np.nan_to_num(np.asarray(dep), nan=0.0)
             var = np.nan_to_num(np.asarray(var), nan=0.0)
             # gpis_var is consumed as the touch uncertainty map exactly as

@@ -55,12 +55,14 @@ class RasterizeConfig:
                                # DMA lane alignment): k_tile is rounded up
                                # to a k_chunk multiple and the roll vector
                                # must stay 128-aligned (96 fails Mosaic)
-    k_tile_max_train: int = 8192  # ceiling for the trainer's truncation-guard
-                               # escalation — same bound eval's
-                               # render_lossless uses, so a scene whose tiles
-                               # legitimately need >2048 entries trains
-                               # lossless too (r4 verdict: the old hard 2048
-                               # cap silently kept such scenes lossy forever)
+    k_tile_max_train: int = 4096  # ceiling for the trainer's truncation-guard
+                               # escalation — well past the old silent 2048
+                               # cap (r4 verdict), so scenes legitimately
+                               # needing >2048 entries/tile train lossless.
+                               # 4096, not eval's 8192: the BACKWARD kernel
+                               # at k_tile 8192 exceeds v5e scoped VMEM by
+                               # 132 KB (measured compile failure, r5);
+                               # forward-only eval still escalates to 8192
     alpha_clip: float = 0.999  # max per-gaussian alpha (gsplat convention)
     alpha_threshold: float = 1.0 / 255.0  # skip contributions below this
     sigma_cutoff: float = 3.0  # radius cutoff in standard deviations

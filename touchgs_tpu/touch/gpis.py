@@ -55,6 +55,11 @@ class GPIS:
     signal_var: jax.Array
     noise: jax.Array
     kernel: str = dataclasses.field(metadata=dict(static=True), default="rbf")
+    # off-surface target magnitude ε (fit_gpis's off_surface_eps): the ray
+    # marcher uses it to tell a real surface approach (mean peaks at ~ε
+    # outside the surface) from prior noise around 0
+    off_eps: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.02))
 
     @property
     def num_points(self) -> int:
@@ -132,7 +137,8 @@ def fit_gpis(
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), yd)
     return GPIS(X=Xd, alpha=alpha, L=L, lengthscale=ls, signal_var=sv,
-                noise=nz, kernel=kernel)
+                noise=nz, kernel=kernel,
+                off_eps=jnp.float32(off_surface_eps))
 
 
 def posterior(gpis: GPIS, queries: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -158,9 +164,10 @@ def posterior_mean(gpis: GPIS, queries: jnp.ndarray) -> jnp.ndarray:
     return kfn(d2, gpis.lengthscale, gpis.signal_var) @ gpis.alpha
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "pixel_chunk"))
+@functools.partial(jax.jit, static_argnames=("n_samples", "pixel_chunk",
+                                             "support_var_frac"))
 def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
-           pixel_chunk: int):
+           pixel_chunk: int, support_var_frac: float = 0.5):
     """Ray march: (P, 3) origins/dirs (dir z-normalized so t == z-depth)."""
     ts = jnp.linspace(near, far, n_samples)  # (S,)
     P = origins.shape[0]
@@ -175,8 +182,19 @@ def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
         # below at just the one crossing point per pixel (posterior_mean
         # docstring) — S× fewer solve queries for identical depth output
         mean = posterior_mean(gpis, pts.reshape(-1, 3)).reshape(-1, n_samples)
-        # first +→− crossing
-        crossing = (mean[:, :-1] > 0) & (mean[:, 1:] <= 0)  # (C, S-1)
+        # A real surface approach makes the mean RISE toward ~ε in the
+        # off-surface shell, then fall through 0 at the surface.  Prior-
+        # noise wiggles near the support fringe also produce +→− sign
+        # changes but with tiny amplitudes — the naive FIRST crossing put
+        # 10× more spurious "surfaces" than real ones on the r5 hard
+        # scene.  The detector therefore ARMS once the mean has clearly
+        # entered a positive shell (> 0.25·ε) and fires at the next
+        # zero-crossing.  (Arming on the global argmax instead was tried
+        # and is wrong: the ray's largest peak can be the BACK shell exit,
+        # which skips the true front surface.)
+        armed = jnp.cumsum((mean > 0.25 * gpis.off_eps).astype(jnp.int32),
+                           axis=1) > 0                      # (C, S)
+        crossing = (mean[:, :-1] > 0) & (mean[:, 1:] <= 0) & armed[:, :-1]
         has = jnp.any(crossing, axis=1)
         first = jnp.argmax(crossing, axis=1)
         m0 = jnp.take_along_axis(mean, first[:, None], axis=1)[:, 0]
@@ -190,8 +208,29 @@ def _march(gpis: GPIS, origins, dirs, near, far, n_samples: int,
         # the point itself is at least as accurate)
         x_cross = o + depth[:, None] * d
         _, var_x = posterior(gpis, x_cross)
+        # SUPPORT GATE (the "NaN where the GP has no support" contract,
+        # utils/read_touch_depths.py:47-49): far from every contact the
+        # zero-mean prior makes the posterior mean hover at ~0, and the
+        # sign-change detector fires on numerical noise — measured on the
+        # r5 hard scene: 33.5k spurious off-object "surfaces" vs 3.2k real
+        # ones before this gate.  A crossing only counts where the
+        # posterior variance says the GP actually knows something
+        # (var < support_var_frac · signal_var; data-supported regions sit
+        # well below, no-support regions saturate at the prior variance).
+        has = has & (var_x < support_var_frac * gpis.signal_var)
+        # DEPTH variance via the delta method: the implicit-function
+        # variance var_f has no metric meaning for a depth map; the
+        # consumer (Bayesian fusion, utils/fuse_touch_vision.py:116-126)
+        # weighs it against vision sigmas in METERS.  σ_z² = var_f /
+        # (∂f/∂t)² at the crossing — near contacts the slope is ~ε/off_eps
+        # ≈ 1 per meter and var_f is tiny (σ_z ~ mm); at the support
+        # fringe the peak is shallow (small slope) and var_f large, so the
+        # phantom silhouette halo self-reports meter-scale uncertainty and
+        # loses the fusion instead of poisoning it.
+        slope = jnp.maximum((m0 - m1) / jnp.maximum(t1 - t0, 1e-9), 1e-3)
+        var_z = var_x / (slope * slope)
         nan = jnp.float32(jnp.nan)
-        return (jnp.where(has, depth, nan), jnp.where(has, var_x, nan))
+        return (jnp.where(has, depth, nan), jnp.where(has, var_z, nan))
 
     o_blocks = origins.reshape(-1, pixel_chunk, 3)
     d_blocks = dirs.reshape(-1, pixel_chunk, 3)
@@ -206,9 +245,13 @@ def render_depth_var(
     far: float = 2.0,
     n_samples: int = 128,
     pixel_chunk: int = 4096,
+    support_var_frac: float = 0.5,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render per-pixel expected surface z-depth + variance (the
-    gpis_depth/gpis_var contract; NaN where the ray finds no surface)."""
+    gpis_depth/gpis_var contract; NaN where the ray finds no surface OR the
+    GP has no support there — crossings with posterior variance above
+    ``support_var_frac·signal_var`` are noise of the zero prior, not
+    surface)."""
     h, w = camera.height, camera.width
     vs, us = jnp.mgrid[0:h, 0:w]
     # OpenCV-convention ray dirs with z=1 so the march parameter is z-depth
@@ -225,6 +268,6 @@ def render_depth_var(
     origins = jnp.broadcast_to(camera.c2w[:3, 3], dirs.shape)
     depth, var = _march(
         gpis, origins, dirs, jnp.float32(near), jnp.float32(far),
-        n_samples, pixel_chunk,
+        n_samples, pixel_chunk, support_var_frac,
     )
     return depth.reshape(h, w), var.reshape(h, w)

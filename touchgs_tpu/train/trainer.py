@@ -363,7 +363,14 @@ class Trainer:
                     last_metrics["lossy_tiles_window_max"] = window_lossy
                 else:
                     window_lossy = 0.0
-                if window_lossy > 0.005 * n_tiles:
+                # absolute floor of 2 tiles under the 0.5% fraction: at small
+                # resolutions (400² = 169 tiles) a bare fraction threshold
+                # lets a SINGLE borderline tile escalate k_tile repeatedly
+                # (observed r5: 2/169 tiles marched the cap to 8192).  The
+                # floor is itself capped at half the tile count so tiny
+                # grids (tests render single-tile scenes) still escalate.
+                thr = min(max(0.005 * n_tiles, 2.0), 0.5 * n_tiles)
+                if window_lossy > thr:
                     self._lossy_streak += 1
                 else:
                     self._lossy_streak = 0

@@ -99,13 +99,24 @@ def composite_cost(scanned_pairs: float, tile_pixels: int, n_tiles: int,
 
 
 def binning_cost(num_gaussians: int, tiles_per_gaussian_cap: int) -> StageCost:
-    """Key build + radix-style sort of the (gaussian, tile) pairs."""
+    """Key build + sort of the (gaussian, tile) pairs.
+
+    The sort model is a bitonic MERGE-pass traffic estimate (what XLA's TPU
+    `lax.sort` actually does): log2(M) merge passes, each streaming the
+    (key, value) pair array through HBM once — not the single-pass radix
+    fiction the r4 model used (which put the measured sort at a meaningless
+    3% "efficiency").  Chained-dispatch measurement on v5e (r5,
+    tools/exp_tail3 methodology): the 2^21 pair sort alone is ~1.7 ms, vs
+    ~1.5 ms modeled here; the rest of the measured binning stage is key
+    build + searchsorted + slot lists."""
+    import math
+
     pairs = num_gaussians * tiles_per_gaussian_cap
-    # sort ≈ several passes over (key, value) pairs
+    passes = max(math.ceil(math.log2(max(pairs, 2))), 1)
     return StageCost(
         name="binning",
         flops=float(pairs) * 10,
-        bytes_accessed=float(pairs) * 8 * 6,
+        bytes_accessed=float(pairs) * 8 * (2 + passes),
     )
 
 
