@@ -75,3 +75,38 @@ def test_matern_kernel_fits():
     g = fit_gpis(pts, normals, lengthscale=0.15, kernel="matern52")
     mean, _ = posterior(g, jnp.asarray(pts[:20]))
     assert float(jnp.abs(mean).max()) < 0.03
+
+
+def test_no_phantom_surfaces_without_support():
+    """r5 regression: rays far from every contact must report NaN, not the
+    prior's zero-noise crossings (the ungated marcher reported 10x more
+    phantom surfaces than real ones on the hard scene)."""
+    pts, normals = _sphere_points(n=300)
+    # contacts only on the +z cap — the -z hemisphere is unsupported
+    cap = pts[:, 2] > 0.25
+    g = fit_gpis(pts[cap], normals[cap], lengthscale=0.1, noise=1e-3,
+                 off_surface_eps=0.05)
+    cam = look_at_camera(eye=(0.0, 0.0, -1.2), width=32, height=24,
+                         focal=40.0)
+    depth, var = render_depth_var(g, cam, near=0.4, far=1.4, n_samples=96,
+                                  pixel_chunk=256)
+    depth = np.asarray(depth)
+    # looking at the UNSEEN side: almost everything must be no-support NaN
+    finite = np.isfinite(depth)
+    assert finite.mean() < 0.2, f"phantom surfaces: {finite.mean():.0%}"
+
+
+def test_depth_variance_is_metric():
+    """The returned map is depth variance (m^2): near-contact readings must
+    be far more certain than the support fringe."""
+    pts, normals = _sphere_points(n=400)
+    g = fit_gpis(pts, normals, lengthscale=0.12, noise=1e-3,
+                 off_surface_eps=0.05)
+    cam = look_at_camera(eye=(0.0, 0.0, 1.2), width=48, height=36,
+                         focal=60.0)
+    depth, var = render_depth_var(g, cam, near=0.4, far=1.4, n_samples=96,
+                                  pixel_chunk=512)
+    depth = np.asarray(depth)
+    var = np.asarray(var)
+    c = var[18, 24]                      # center: densely supported
+    assert np.isfinite(c) and c < 0.01   # sub-10cm sigma at contacts

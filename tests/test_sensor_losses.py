@@ -171,3 +171,59 @@ def test_losses_are_differentiable(depth_pair):
                                        jnp.asarray(gt) > 1.0))(
         jnp.asarray(pred))
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_depth_net_trains_with_reference_loss():
+    """End-to-end: the flax touch depth net trains under the reference's
+    combined DenseDepth loss and the loss decreases."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from touchgs_tpu.touch.sensor_nets import TouchDepthNet
+    from touchgs_tpu.touch.sensor_train import make_depth_train_step
+
+    rng = np.random.default_rng(0)
+    net = TouchDepthNet(base=32)  # channel counts must divide GroupNorm's 8 groups
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    # target: smooth depth in the net's [0,255] output range
+    yy, xx = np.mgrid[0:32, 0:32]
+    target = jnp.asarray(
+        np.stack([100 + 50 * np.sin(xx / 6) + yy] * 2), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), imgs[0])
+    opt = optax.adam(2e-4)  # higher lr saturates the sigmoid head
+    step = make_depth_train_step(net, opt, loss="densetact")
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(25):
+        params, opt_state, m = step(params, opt_state, imgs, target)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.95, losses[::8]
+
+    # silog variant also runs and is finite
+    step2 = make_depth_train_step(net, opt, loss="silog")
+    params, opt_state, m2 = step2(params, opt_state, imgs, target)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_force_net_trains_with_rmse():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from touchgs_tpu.touch.sensor_nets import ForceNet
+    from touchgs_tpu.touch.sensor_train import make_force_train_step
+
+    rng = np.random.default_rng(1)
+    net = ForceNet(dim=32, blocks=1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    forces = jnp.asarray(rng.uniform(0.2, 0.8, (2, 6)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), imgs[0])
+    opt = optax.adam(1e-3)
+    step = make_force_train_step(net, opt)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(12):
+        params, opt_state, m = step(params, opt_state, imgs, forces)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses[::4]

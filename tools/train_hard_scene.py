@@ -194,9 +194,14 @@ def main():
         near, far = float(sph_d.min()) - 0.15, float(sph_d.max()) + 0.15
         touch, touch_sig = [], []
         for v, cam in enumerate(cams):
+            # tight support gate (0.15): the silhouette halo of
+            # weak-support crossings supervises phantom depth at off-object
+            # pixels, and under the reference's sigma calibration
+            # (vision sigma >= 5) even meter-scale touch variance wins the
+            # fusion — cutting the halo at the source beats re-weighting it
             dep, var = render_depth_var(g, cam, near=near, far=far,
                                         n_samples=96, pixel_chunk=1024,
-                                        support_var_frac=0.3)
+                                        support_var_frac=0.15)
             dep = np.nan_to_num(np.asarray(dep), nan=0.0)
             var = np.nan_to_num(np.asarray(var), nan=0.0)
             # gpis_var is consumed as the touch uncertainty map exactly as
@@ -267,9 +272,13 @@ def main():
                               sh_degree=args.sh_degree,
                               rasterize=RasterizeConfig(use_pallas=on_tpu)),
             depth=loss_cfg,
+            # periodic opacity reset ON (splatfacto default 3000): it is the
+            # mechanism that kills the dark floater blobs the r5 eval
+            # renders showed hovering in front of the textureless object
+            # (phantom-supervised splats never photometrically contradicted)
             densify=DensifyConfig(warmup_steps=300, refine_every=100,
                                   stop_refine_at=args.steps - 300,
-                                  reset_opacity_every=10 ** 9),
+                                  reset_opacity_every=3000),
             optim=OptimConfig(means_lr_max_steps=args.steps),
             sh_degree_interval=max(args.steps // 3, 1),
             grow_capacity=False,
