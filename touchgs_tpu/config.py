@@ -91,13 +91,15 @@ class DepthLossConfig:
     depth_loss_type: DepthLossType = DepthLossType.DEPTH_UNCERTAINTY_WEIGHTED_LOSS
     uncertainty_weight: float = 1.0
     # weighting form for DEPTH_UNCERTAINTY_WEIGHTED_LOSS (the fork's exact
-    # formula is not in the checkout — empty submodule).  Candidates A/B'd on
-    # the hard scene (RESULTS_r05.md; models/splatfacto.py docstring):
-    #   "inv_sq": w = 1/(1 + uw·σ²)   — inverse-variance-style, default
-    #   "inv":    w = 1/(1 + uw·σ)    — the fusion stage's inverse-σ
-    #                                   convention (fuse_touch_vision.py:124)
-    #   "exp":    w = exp(−uw·σ)      — exponential down-weighting
-    uncertainty_form: str = "inv_sq"
+    # formula is not in the checkout — empty submodule).  A/B'd on the hard
+    # scene at the mirror preset, 6000 steps (RESULTS_r05.md):
+    #   "inv":    w = 1/(1 + uw·σ)  → 21.15 dB / 8.13 cm obj MAE  ← DEFAULT
+    #   "inv_sq": w = 1/(1 + uw·σ²) → 20.91 dB / 9.43 cm
+    #   "exp":    w = exp(−uw·σ)    → 18.86 dB / 10.97 cm
+    # "inv" both wins the A/B and matches the fusion stage's own inverse-σ
+    # convention (utils/fuse_touch_vision.py:116-126 weighs by 1/σ, not
+    # 1/σ²), so it is the default.
+    uncertainty_form: str = "inv"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,10 +9,14 @@ and the depth supervision term in both reference modes:
 - ``DEPTH_UNCERTAINTY_WEIGHTED_LOSS``: the residual down-weighted by the
   per-pixel fused uncertainty sigma with strength ``uncertainty_weight``
   (CLI contract at ``scripts/train_bunny_real.sh:52``).  The fork's exact
-  formula is not in the checkout (empty submodule); consistent with the
-  inverse-variance convention of the fusion stage
-  (``utils/fuse_touch_vision.py:124-148``) we use
-  ``w = 1 / (1 + uncertainty_weight * sigma^2)`` — reducing exactly to
+  formula is not in the checkout (empty submodule), so three candidate
+  forms were A/B'd on the hard mirror-style scene (r5, 6000 steps, mirror
+  preset — RESULTS_r05.md): ``1/(1+uw·σ)`` 21.15 dB / 8.13 cm object MAE;
+  ``1/(1+uw·σ²)`` 20.91 dB / 9.43 cm; ``exp(−uw·σ)`` 18.86 dB / 10.97 cm.
+  The default is ``w = 1/(1 + uncertainty_weight · σ)``
+  (``DepthLossConfig.uncertainty_form="inv"``): it wins the A/B and is the
+  same inverse-σ (not σ²) convention the fusion stage itself uses
+  (``utils/fuse_touch_vision.py:116-126``).  All forms reduce exactly to
   SIMPLE_LOSS as uncertainty_weight → 0.
 
 The screen-space positional gradient needed by densification is exposed by
