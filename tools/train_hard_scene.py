@@ -331,8 +331,10 @@ def main():
 Mirror-style synthetic A/B (this file is written by
 `tools/train_hard_scene.py`; see its docstring for the construction):
 textureless sphere+plane, vision depth reads THROUGH the object, touch
-covers {(touch > 0).sum() / max(sphere_masks.sum(), 1):.0%} of sphere pixels
-in {args.touch_patches} contact patches, fused end-to-end by
+readings span {(touch > 0).sum() / max(sphere_masks.sum(), 1):.0%} of the
+sphere's pixel area ({(touch[sphere_masks] > 0).sum() / max(sphere_masks.sum(), 1):.0%}
+on-sphere; GPIS support extends past the silhouette) from
+{args.touch_patches} contact patches, fused end-to-end by
 `touch/fusion.py::fuse_view`.  {args.views} views at {W}x{H},
 {args.steps} steps, capacity {args.capacity}, on {dev.device_kind}.
 Touch mode: {"raw patch-only (legacy)" if args.no_gpis else
