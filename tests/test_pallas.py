@@ -94,3 +94,24 @@ def test_pallas_grad_finite_diff(scene):
     eps = 1e-3
     fd = (f(opacities + eps * v) - f(opacities - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd), rtol=2e-2)
+
+
+def test_invalid_k_chunk_rejected():
+    """k_chunk must keep k_tile 128-aligned for the slot-list DMA roll
+    (r5: k_chunk=96 rounds k_tile 512->576 and Mosaic rejects the
+    unaligned dynamic rotate at compile time — fail fast instead)."""
+    import pytest
+
+    from touchgs_tpu.config import RasterizeConfig
+    from touchgs_tpu.ops.projection import project_gaussians
+    from touchgs_tpu.ops.rasterize_pallas import rasterize_pallas
+    from tests.synthetic import look_at_camera, random_gaussians
+
+    means, quats, scales, colors, opac = random_gaussians(64, seed=0)
+    cam = look_at_camera(eye=(1.0, 1.0, 1.0), width=64, height=64)
+    cfg = RasterizeConfig()
+    proj = project_gaussians(means, quats, scales, cam.w2c, cam.fx, cam.fy,
+                             cam.cx, cam.cy, 64, 64, cfg)
+    with pytest.raises(ValueError, match="k_chunk"):
+        rasterize_pallas(proj, colors, opac, 64, 64, cfg, k_chunk=96,
+                         interpret=True)
