@@ -6,6 +6,16 @@ gains a leading scene axis, the per-scene loss is vmapped, and the scene axis
 is sharded over the mesh's ``data`` dimension (scenes are independent, so this
 is embarrassingly parallel — the right first axis to fill a pod with).  The
 ``model`` axis continues to shard the Gaussian capacity *within* each scene.
+
+Adaptive density control is per scene (``make_multiscene_refine_step`` =
+vmapped refine + per-scene Adam-moment reset).  Capacity, however, is
+deliberately SHARED across the batch: per-scene capacity growth would give
+every scene a different array shape, which vmap/pjit cannot express without
+ragged padding that re-introduces the worst-case shape anyway.  A scene that
+outgrows its share saturates gracefully inside ``refine`` (highest-gradient
+candidates win the free slots); callers sizing a batch should provision
+``max_gaussians`` for the largest scene, exactly as the single-scene trainer
+provisions for its final count.
 """
 from __future__ import annotations
 
